@@ -1,0 +1,242 @@
+# Copyright 2026 The rein48-tpu Authors.
+# SPDX-License-Identifier: Apache-2.0
+"""Command-line driver: play / train / bench.
+
+Supersedes the reference's two entry points — ``main.py`` (hand/rand play,
+``/root/reference/main.py:51-75``) and the ``a3c.py`` ``__main__`` training
+script (``a3c.py:259-308``) — with one CLI:
+
+    python -m rein48_tpu play  --control rand --visual
+    python -m rein48_tpu play  --control hand
+    python -m rein48_tpu train --algo a3c --updates 500 --batch-size 4096
+    python -m rein48_tpu train --algo dqn --updates 500
+    python -m rein48_tpu bench --batch 16384
+
+The reference's ``-c/--control`` aliases (r/rand/random, h/hand/human,
+``main.py:64-69``) are honored.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import Optional, Sequence
+
+
+def _cmd_play(args: argparse.Namespace) -> int:
+    import numpy as np
+
+    from rein48_tpu import control
+    from rein48_tpu.env import Game
+    from rein48_tpu.engine.core import RewardMode
+
+    game = Game(
+        seed=args.seed,
+        reward_mode=RewardMode.MERGE_SCORE if args.score else RewardMode.PARITY_ZERO,
+    )
+    is_hand = args.control == "hand"
+    if is_hand:
+        # Reference banner (main.py:20-33).
+        print("=" * 40)
+        print("Welcome to 2048 (rein48-tpu edition)")
+        print("Actions: U/D/L/R (or up/down/left/right); Ctrl-C quits.")
+        print("=" * 40)
+    steps, done = 0, False
+    rng = np.random.default_rng(args.seed)
+    total_reward = 0.0
+    while not done and steps < args.max_steps:
+        if is_hand or args.visual:
+            print(game.render())
+        if is_hand:
+            action = control.hand_control()
+        else:
+            legal = game.legal_actions
+            if args.legal_only and legal.any():
+                action = int(rng.choice(np.flatnonzero(legal)))
+            else:
+                action = int(rng.integers(0, 4))
+        _, reward, done = game.step(action)
+        total_reward += reward
+        steps += 1
+    print(game.render())
+    # Reference scoring: sum of tiles (main.py:48).
+    print(
+        f"game_over={done} steps={steps} "
+        f"tile_sum={int(game.state_matrix.sum())} merge_score={total_reward:.0f}"
+    )
+    return 0
+
+
+def _cmd_train(args: argparse.Namespace) -> int:
+    from rein48_tpu.utils.metrics import MetricLogger
+    from rein48_tpu.utils.checkpoint import Checkpointer
+
+    logger = MetricLogger(log_dir=args.log_dir)
+    ckpt = (
+        Checkpointer(args.checkpoint_dir, save_every=args.checkpoint_every)
+        if args.checkpoint_dir
+        else None
+    )
+    mesh = None
+    if args.mesh:
+        from rein48_tpu.parallel import mesh as mesh_lib
+
+        mesh = mesh_lib.make_mesh()
+        print(f"mesh: {mesh}", file=sys.stderr)
+
+    if args.algo == "a3c":
+        from rein48_tpu.train.a3c import A3CConfig, train_a3c
+
+        if args.parity:
+            config = A3CConfig.reference_parity(batch_size=args.batch_size)
+        else:
+            config = A3CConfig(
+                batch_size=args.batch_size,
+                unroll_len=args.unroll,
+                model=args.model,
+                learning_rate=args.lr,
+            )
+        _, history = train_a3c(
+            config,
+            num_updates=args.updates,
+            seed=args.seed,
+            mesh=mesh,
+            log_every=args.log_every,
+            logger=logger,
+            checkpointer=ckpt,
+        )
+    elif args.algo == "dqn":
+        from rein48_tpu.train.dqn import DQNConfig, train_dqn
+
+        config = DQNConfig(
+            num_envs=args.batch_size,
+            model=args.model if args.model != "mlp" else "qnet",
+            learning_rate=args.lr,
+        )
+        _, history = train_dqn(
+            config,
+            num_updates=args.updates,
+            seed=args.seed,
+            mesh=mesh,
+            log_every=args.log_every,
+            logger=logger,
+            checkpointer=ckpt,
+        )
+    elif args.algo == "ddpg":
+        from rein48_tpu.train.ddpg import DDPGConfig, train_ddpg
+
+        config = DDPGConfig(num_envs=args.batch_size, learning_rate=args.lr)
+        _, history = train_ddpg(
+            config,
+            num_updates=args.updates,
+            seed=args.seed,
+            log_every=args.log_every,
+            logger=logger,
+            checkpointer=ckpt,
+        )
+    else:  # pragma: no cover
+        raise SystemExit(f"unknown algo {args.algo}")
+    if history:
+        last = history[-1]
+        print(f"final: {last}", file=sys.stderr)
+    logger.close()
+    return 0
+
+
+def _cmd_bench(args: argparse.Namespace) -> int:
+    import json
+    import time
+
+    import jax
+
+    from rein48_tpu.engine import vector
+    from rein48_tpu.utils.profiling import force
+
+    state = vector.reset_batch(jax.random.key(args.seed), args.batch)
+    state, _ = vector.rollout_random(state, args.unroll)
+    force(state.score)
+    t0 = time.perf_counter()
+    for _ in range(args.rounds):
+        state, _ = vector.rollout_random(state, args.unroll)
+    force(state.score)
+    dt = time.perf_counter() - t0
+    sps = args.batch * args.unroll * args.rounds / dt
+    print(
+        json.dumps(
+            {
+                "metric": "env_steps_per_sec",
+                "value": round(sps, 1),
+                "unit": "steps/s",
+                "batch": args.batch,
+                "unroll": args.unroll,
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+    return 0
+
+
+def _normalize_control(value: str) -> str:
+    # Reference alias sets (main.py:64-69).
+    if value in ("r", "rand", "random", "Random"):
+        return "rand"
+    if value in ("h", "hand", "human", "Hand"):
+        return "hand"
+    raise argparse.ArgumentTypeError(
+        f"unknown control '{value}' (choose rand/hand)"
+    )
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="rein48", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pp = sub.add_parser("play", help="play one game (rand or hand control)")
+    pp.add_argument("-c", "--control", type=_normalize_control, default="rand")
+    pp.add_argument("-v", "--visual", action="store_true")
+    pp.add_argument("--seed", type=int, default=0)
+    pp.add_argument("--max-steps", type=int, default=10000)
+    pp.add_argument("--legal-only", action="store_true", default=True)
+    pp.add_argument("--score", action="store_true", help="pay merge score")
+    pp.set_defaults(fn=_cmd_play)
+
+    pt = sub.add_parser("train", help="train an agent")
+    pt.add_argument("--algo", choices=("a3c", "dqn", "ddpg"), default="a3c")
+    pt.add_argument("--model", default="resnet")
+    pt.add_argument("--updates", type=int, default=200)
+    pt.add_argument("--batch-size", type=int, default=4096)
+    pt.add_argument("--unroll", type=int, default=32)
+    pt.add_argument("--lr", type=float, default=3e-4)
+    pt.add_argument("--seed", type=int, default=0)
+    pt.add_argument("--mesh", action="store_true", help="shard over all devices")
+    pt.add_argument("--parity", action="store_true", help="reference-parity regime")
+    pt.add_argument("--log-dir", default=None)
+    pt.add_argument("--log-every", type=int, default=10)
+    pt.add_argument("--checkpoint-dir", default=None)
+    pt.add_argument("--checkpoint-every", type=int, default=100)
+    pt.set_defaults(fn=_cmd_train)
+
+    pb = sub.add_parser("bench", help="env throughput benchmark")
+    pb.add_argument("--batch", type=int, default=16384)
+    pb.add_argument("--unroll", type=int, default=1024)
+    pb.add_argument("--rounds", type=int, default=4)
+    pb.add_argument("--seed", type=int, default=0)
+    pb.set_defaults(fn=_cmd_bench)
+    return p
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    # The environment's sitecustomize force-selects the TPU backend and
+    # ignores JAX_PLATFORMS (see .claude/skills/verify/SKILL.md); honor an
+    # explicit CPU request via config, which does win.
+    if os.environ.get("REIN48_FORCE_CPU") == "1":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -9,6 +9,13 @@ from rein48_tpu.train.a3c import (  # noqa: F401
     make_a3c_step,
     train_a3c,
 )
+from rein48_tpu.train.ddpg import (  # noqa: F401
+    DDPGConfig,
+    DDPGTrainState,
+    init_ddpg,
+    make_ddpg_step,
+    train_ddpg,
+)
 from rein48_tpu.train.dqn import (  # noqa: F401
     DQNConfig,
     DQNTrainState,

@@ -1,0 +1,71 @@
+# Copyright 2026 The rein48-tpu Authors.
+# SPDX-License-Identifier: Apache-2.0
+"""Orbax checkpointing of full training state.
+
+The reference has NO checkpointing — no ``tf.train.Saver`` anywhere;
+training state dies with the process (SURVEY.md §5). Here the entire
+train-state pytree (params, optimizer state, env state including per-env
+RNG keys, counters) round-trips through orbax, so a run resumes
+bit-exactly: the env keys ARE the stochastic state, there is no hidden
+host RNG.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class Checkpointer:
+    """Thin orbax wrapper with interval-based saving.
+
+    Args:
+        directory: checkpoint root (created if missing).
+        save_every: save when ``maybe_save(step, ...)`` hits a multiple.
+        max_to_keep: retained checkpoints.
+    """
+
+    def __init__(
+        self, directory: str, save_every: int = 100, max_to_keep: int = 3
+    ):
+        self.directory = os.path.abspath(directory)
+        self.save_every = save_every
+        self._mngr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+
+    def save(self, step: int, state: Any) -> None:
+        self._mngr.save(step, args=ocp.args.StandardSave(state))
+        self._mngr.wait_until_finished()
+
+    def maybe_save(self, step: int, state: Any) -> bool:
+        if step % self.save_every == 0:
+            self.save(step, state)
+            return True
+        return False
+
+    def latest_step(self) -> Optional[int]:
+        return self._mngr.latest_step()
+
+    def restore(self, state_like: Any, step: Optional[int] = None) -> Any:
+        """Restore into the structure/shardings of ``state_like``.
+
+        ``state_like`` is a state built by the trainer's ``init_*`` (same
+        pytree structure and shapes; its values are discarded).
+        """
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {self.directory}")
+        target = jax.tree.map(ocp.utils.to_shape_dtype_struct, state_like)
+        return self._mngr.restore(
+            step, args=ocp.args.StandardRestore(target)
+        )
+
+    def close(self) -> None:
+        self._mngr.close()

@@ -109,6 +109,46 @@ class TestMoveBoards:
                 assert bool(got_changed) == want_changed
 
 
+class TestKernelEquivalence:
+    """The VPU merge kernel == the LUT over ALL 65536 rows, on device."""
+
+    def test_merge_rows_left_exhaustive_vs_lut(self):
+        from rein48_tpu.engine import lut
+
+        codes = np.arange(lut.NUM_ROW_CODES, dtype=np.uint32)
+        rows = ((codes[:, None] >> lut.ROW_UNPACK_SHIFTS[None, :]) & 0xF).astype(
+            np.uint8
+        )
+        got_rows, got_scores, got_changed = jax.jit(core.merge_rows_left)(
+            jnp.asarray(rows)
+        )
+        table = lut.build_row_lut()
+        want_codes = lut.lut_new_code(table)
+        want_rows = (
+            (want_codes[:, None] >> lut.ROW_UNPACK_SHIFTS[None, :]) & 0xF
+        ).astype(np.uint8)
+        np.testing.assert_array_equal(np.asarray(got_rows), want_rows)
+        np.testing.assert_array_equal(
+            np.asarray(got_scores), lut.lut_score(table).astype(np.int32)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got_changed), want_codes != codes
+        )
+
+    def test_move_boards_matches_lut_variant(self):
+        rng = np.random.default_rng(11)
+        boards = rng.integers(0, 12, size=(256, 4, 4)).astype(np.uint8)
+        boards = (boards * (rng.random((256, 4, 4)) > 0.3)).astype(np.uint8)
+        actions = rng.integers(0, 4, size=(256,)).astype(np.int32)
+        nb1, s1, c1 = core.move_boards(jnp.asarray(boards), jnp.asarray(actions))
+        nb2, s2, c2 = core.move_boards_lut(
+            jnp.asarray(boards), jnp.asarray(actions)
+        )
+        np.testing.assert_array_equal(np.asarray(nb1), np.asarray(nb2))
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
 class TestPredicates:
     def test_not_over_with_blank(self):
         assert not bool(core.is_game_over(B([[2, 4, 2, 4]] * 3 + [[2, 4, 2, 0]])))

@@ -1,0 +1,140 @@
+# Copyright 2026 The rein48-tpu Authors.
+# SPDX-License-Identifier: Apache-2.0
+"""Tests for metrics logging, orbax checkpointing, and the CLI."""
+
+import csv
+import os
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+from rein48_tpu.utils.checkpoint import Checkpointer
+from rein48_tpu.utils.metrics import MetricLogger
+
+
+class TestMetricLogger:
+    def test_csv_roundtrip(self, tmp_path):
+        logger = MetricLogger(log_dir=str(tmp_path), stdout=False)
+        logger.write({"update": 1, "loss": 0.5})
+        logger.write({"update": 2, "loss": 0.25})
+        logger.close()
+        with open(tmp_path / "metrics.csv") as f:
+            rows = list(csv.DictReader(f))
+        assert len(rows) == 2
+        assert float(rows[1]["loss"]) == 0.25
+
+    def test_stdout_only(self, capsys):
+        logger = MetricLogger(log_dir=None)
+        logger.write({"update": 1, "loss": 0.125})
+        out = capsys.readouterr().out
+        assert "loss=0.125" in out
+
+
+class TestCheckpointer:
+    def test_save_restore_a3c_state(self, tmp_path):
+        from rein48_tpu.train.a3c import A3CConfig, init_a3c, make_a3c_step
+
+        cfg = A3CConfig(
+            batch_size=4, unroll_len=2, model="mlp", obs_encoding="onehot"
+        )
+        state, model, opt = init_a3c(cfg, jax.random.key(0))
+        step = jax.jit(make_a3c_step(cfg, model, opt))
+        state, _ = step(state)
+
+        ckpt = Checkpointer(str(tmp_path / "ckpt"), save_every=1)
+        assert ckpt.maybe_save(int(state.update_step), state)
+        assert ckpt.latest_step() == 1
+
+        fresh, _, _ = init_a3c(cfg, jax.random.key(99))
+        restored = ckpt.restore(fresh)
+        for a, b in zip(
+            jax.tree.leaves(state), jax.tree.leaves(restored), strict=True
+        ):
+            np.testing.assert_array_equal(
+                np.asarray(jax.random.key_data(a) if jax.dtypes.issubdtype(a.dtype, jax.dtypes.prng_key) else a),
+                np.asarray(jax.random.key_data(b) if jax.dtypes.issubdtype(b.dtype, jax.dtypes.prng_key) else b),
+            )
+        ckpt.close()
+
+    def test_resume_continues_bit_exactly(self, tmp_path):
+        """Save at t, restore, and the next update matches the original."""
+        from rein48_tpu.train.a3c import A3CConfig, init_a3c, make_a3c_step
+
+        cfg = A3CConfig(
+            batch_size=4, unroll_len=2, model="mlp", obs_encoding="onehot"
+        )
+        state, model, opt = init_a3c(cfg, jax.random.key(0))
+        step = jax.jit(make_a3c_step(cfg, model, opt))
+        state, _ = step(state)
+
+        ckpt = Checkpointer(str(tmp_path / "ckpt"), save_every=1)
+        ckpt.save(1, state)
+        cont_direct, m_direct = step(state)
+
+        fresh, _, _ = init_a3c(cfg, jax.random.key(7))
+        restored = ckpt.restore(fresh)
+        cont_restored, m_restored = step(restored)
+        assert float(m_direct["loss"]) == float(m_restored["loss"])
+        np.testing.assert_array_equal(
+            np.asarray(cont_direct.env.boards),
+            np.asarray(cont_restored.env.boards),
+        )
+        ckpt.close()
+
+    def test_restore_missing_raises(self, tmp_path):
+        ckpt = Checkpointer(str(tmp_path / "empty"))
+        with pytest.raises(FileNotFoundError):
+            ckpt.restore({"w": np.zeros(2)})
+        ckpt.close()
+
+
+CLI_ENV = dict(
+    os.environ,
+    JAX_PLATFORMS="cpu",
+    REIN48_FORCE_CPU="1",
+    XLA_FLAGS="--xla_force_host_platform_device_count=8",
+)
+
+
+def _run_cli(*args, timeout=240):
+    return subprocess.run(
+        [sys.executable, "-m", "rein48_tpu", *args],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        env=CLI_ENV,
+        cwd="/root/repo",
+    )
+
+
+class TestCLI:
+    def test_play_rand(self):
+        r = _run_cli("play", "-c", "rand", "--seed", "3", "--max-steps", "400")
+        assert r.returncode == 0, r.stderr
+        assert "tile_sum=" in r.stdout
+
+    def test_play_alias_normalization(self):
+        r = _run_cli("play", "-c", "bogus", "--max-steps", "1")
+        assert r.returncode != 0
+        assert "unknown control" in r.stderr
+
+    def test_train_a3c_tiny(self):
+        r = _run_cli(
+            "train", "--algo", "a3c", "--model", "mlp", "--updates", "4",
+            "--batch-size", "8", "--unroll", "2", "--log-every", "2",
+        )
+        assert r.returncode == 0, r.stderr
+        assert "loss=" in r.stdout
+
+    def test_bench_contract(self):
+        import json
+
+        r = _run_cli("bench", "--batch", "256", "--unroll", "64", "--rounds", "2")
+        assert r.returncode == 0, r.stderr
+        line = r.stdout.strip().splitlines()[-1]
+        rec = json.loads(line)
+        assert rec["metric"] == "env_steps_per_sec"
+        assert rec["value"] > 0
