@@ -48,6 +48,11 @@ class A3CLossConfig(NamedTuple):
     gamma: float = 0.9
     entropy_beta: float = 0.001
     value_coef: float = 1.0
+    # Normalize advantages to zero-mean/unit-std over the whole rollout
+    # batch before the policy-gradient term. Not in the reference (its
+    # raw-TD actor term is one reason it can never stabilize); essential
+    # at 2048's reward scale. Critic still regresses raw targets.
+    normalize_advantage: bool = False
     parity_drop_last_reward: bool = False
 
 
@@ -154,13 +159,15 @@ def a3c_loss(
     td = targets - values
     critic_loss = jnp.mean(jnp.square(td))
 
+    adv = jax.lax.stop_gradient(td)
+    if config.normalize_advantage:
+        adv = (adv - jnp.mean(adv)) / (jnp.std(adv) + 1e-6)
+
     logp = jax.nn.log_softmax(logits)
     p = jax.nn.softmax(logits)
     logp_a = jnp.take_along_axis(logp, actions[..., None], axis=-1)[..., 0]
     entropy = -jnp.sum(p * logp, axis=-1)
-    actor_loss = -jnp.mean(
-        logp_a * jax.lax.stop_gradient(td) + config.entropy_beta * entropy
-    )
+    actor_loss = -jnp.mean(logp_a * adv + config.entropy_beta * entropy)
 
     loss = actor_loss + config.value_coef * critic_loss
     aux = {

@@ -144,6 +144,40 @@ def _cmd_train(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_eval(args: argparse.Namespace) -> int:
+    import json
+
+    import jax
+
+    from rein48_tpu.train.evaluate import evaluate_policy
+
+    if args.algo == "a3c":
+        from rein48_tpu.train.a3c import A3CConfig, init_a3c
+
+        config = A3CConfig(batch_size=8, unroll_len=2, model=args.model)
+        state, model, _ = init_a3c(config, jax.random.key(0))
+    else:
+        raise SystemExit("eval currently supports --algo a3c checkpoints")
+
+    if args.checkpoint_dir:
+        from rein48_tpu.utils.checkpoint import Checkpointer
+
+        ckpt = Checkpointer(args.checkpoint_dir)
+        state = ckpt.restore(state)
+        print(f"restored step {ckpt.latest_step()}", file=sys.stderr)
+    params = state.params
+    stats = evaluate_policy(
+        params,
+        model,
+        num_envs=args.num_envs,
+        num_steps=args.max_steps,
+        seed=args.seed,
+        greedy=not args.sample,
+    )
+    print(json.dumps(stats))
+    return 0
+
+
 def _cmd_bench(args: argparse.Namespace) -> int:
     import json
     import time
@@ -216,6 +250,16 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--checkpoint-dir", default=None)
     pt.add_argument("--checkpoint-every", type=int, default=100)
     pt.set_defaults(fn=_cmd_train)
+
+    pe = sub.add_parser("eval", help="evaluate a trained policy")
+    pe.add_argument("--algo", choices=("a3c",), default="a3c")
+    pe.add_argument("--model", default="resnet")
+    pe.add_argument("--checkpoint-dir", default=None)
+    pe.add_argument("--num-envs", type=int, default=512)
+    pe.add_argument("--max-steps", type=int, default=4096)
+    pe.add_argument("--seed", type=int, default=0)
+    pe.add_argument("--sample", action="store_true", help="sample instead of greedy")
+    pe.set_defaults(fn=_cmd_eval)
 
     pb = sub.add_parser("bench", help="env throughput benchmark")
     pb.add_argument("--batch", type=int, default=16384)

@@ -56,8 +56,9 @@ class A3CConfig:
     reward_transform: str = "log2"
     use_legal_mask: bool = True
     gamma: float = 0.99
-    entropy_beta: float = 0.003
+    entropy_beta: float = 0.01
     value_coef: float = 0.5
+    normalize_advantage: bool = True
     optimizer: str = "adam"
     learning_rate: float = 3e-4
     max_grad_norm: float = 1.0
@@ -82,6 +83,7 @@ class A3CConfig:
             value_coef=1.0,
             optimizer="rmsprop",
             learning_rate=1e-3,
+            normalize_advantage=False,
             parity_drop_last_reward=True,
         )
         base.update(overrides)
@@ -96,6 +98,11 @@ class Transition:
     actions: jax.Array
     rewards: jax.Array  # transformed
     dones: jax.Array
+    # Legal-action mask at s_t. The loss MUST evaluate the same (masked)
+    # policy that sampled the actions: computing log-prob/entropy on raw
+    # logits while acting masked makes logp_a unbounded and lets the raw
+    # head saturate (observed: entropy pinned at 0 within 150 updates).
+    legal_mask: jax.Array
 
 
 @struct.dataclass
@@ -143,6 +150,7 @@ def make_a3c_step(
         gamma=config.gamma,
         entropy_beta=config.entropy_beta,
         value_coef=config.value_coef,
+        normalize_advantage=config.normalize_advantage,
         parity_drop_last_reward=config.parity_drop_last_reward,
     )
     T, B = config.unroll_len, config.batch_size
@@ -158,11 +166,10 @@ def make_a3c_step(
             env, k = carry
             k, k_act = jax.random.split(k)
             logits, _ = policy(state.params, env.boards, train=False)
-            mask = (
-                core.legal_action_mask(env.boards)
-                if config.use_legal_mask
-                else None
-            )
+            if config.use_legal_mask:
+                mask = core.legal_action_mask(env.boards)
+            else:
+                mask = jnp.ones(logits.shape, dtype=bool)
             actions = a3c_agent.sample_actions(k_act, logits, mask)
             env2, out = vector.step_autoreset(env, actions, config.reward_mode)
             trans = Transition(
@@ -172,6 +179,7 @@ def make_a3c_step(
                     out.reward, config.reward_transform
                 ),
                 dones=out.done,
+                legal_mask=mask,
             )
             info = {
                 "episodes": out.done.astype(jnp.float32),
@@ -201,6 +209,8 @@ def make_a3c_step(
             )
             logits = logits.reshape(T, B, nets.NUM_ACTIONS)
             values = values.reshape(T, B)
+            # Evaluate the behavior policy: same mask as at sampling time.
+            logits = a3c_agent.masked_logits(logits, traj.legal_mask)
             return a3c_agent.a3c_loss(
                 logits, values, traj.actions, targets, loss_cfg
             )

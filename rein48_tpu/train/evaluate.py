@@ -1,0 +1,91 @@
+# Copyright 2026 The rein48-tpu Authors.
+# SPDX-License-Identifier: Apache-2.0
+"""Batched on-device policy evaluation.
+
+The reference's only evaluation is the per-episode ``np.sum(state)``
+printed by workers (``/root/reference/algorithm/a3c/a3c.py:214,243``).
+Here evaluation is a first-class jitted sweep: N envs play greedily (or
+stochastically) to completion, and the episode statistics — score, length,
+max-tile distribution, fraction of episodes reaching 2048 — come back as
+a dict of scalars. Used by the CLI ``eval`` subcommand and the capability
+regression test.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from rein48_tpu.agents import a3c as a3c_agent
+from rein48_tpu.engine import core, vector
+from rein48_tpu.train import common
+
+
+@functools.partial(jax.jit, static_argnames=("apply_fn", "obs_encoding", "num_steps", "greedy"))
+def _eval_rollout(params, start_state, key, *, apply_fn, obs_encoding, num_steps, greedy):
+    def body(carry, _):
+        st, k = carry
+        k, k_act = jax.random.split(k)
+        obs = common.encode_obs(st.boards, obs_encoding)
+        logits, _ = apply_fn(params, obs)
+        mask = core.legal_action_mask(st.boards)
+        masked = a3c_agent.masked_logits(logits, mask)
+        if greedy:
+            actions = jnp.argmax(masked, axis=-1)
+        else:
+            actions = jax.random.categorical(k_act, masked)
+        st, out = vector.step_autoreset(st, actions)
+        return (st, k), out
+
+    (final, _), outs = jax.lax.scan(
+        body, (start_state, key), None, length=num_steps
+    )
+    dones = outs.done.astype(jnp.float32)
+    n_eps = jnp.sum(dones)
+    safe = jnp.maximum(n_eps, 1.0)
+    max_tile = outs.max_tile
+    stats = {
+        "episodes": n_eps,
+        "avg_tile_sum": jnp.sum(outs.episode_tile_sum) / safe,
+        "avg_length": jnp.sum(outs.episode_length.astype(jnp.float32)) / safe,
+        "avg_score": jnp.sum(outs.episode_score) / safe,
+        "best_tile": jnp.max(max_tile),
+        "frac_512": jnp.sum(dones * (max_tile >= 512)) / safe,
+        "frac_1024": jnp.sum(dones * (max_tile >= 1024)) / safe,
+        "frac_2048": jnp.sum(dones * (max_tile >= 2048)) / safe,
+    }
+    return final, stats
+
+
+def evaluate_policy(
+    params: Any,
+    model: Any,
+    *,
+    obs_encoding: str = "onehot",
+    num_envs: int = 512,
+    num_steps: int = 4096,
+    seed: int = 0,
+    greedy: bool = True,
+) -> Dict[str, float]:
+    """Play ``num_envs`` games for ``num_steps`` lockstep steps; aggregate
+    completed-episode statistics. Greedy = argmax over legal actions."""
+
+    def apply_fn(p, obs):
+        return model.apply({"params": p}, obs)
+
+    key = jax.random.key(seed)
+    k_env, k_roll = jax.random.split(key)
+    state = vector.reset_batch(k_env, num_envs)
+    _, stats = _eval_rollout(
+        params,
+        state,
+        k_roll,
+        apply_fn=apply_fn,
+        obs_encoding=obs_encoding,
+        num_steps=num_steps,
+        greedy=greedy,
+    )
+    return {k: float(v) for k, v in stats.items()}

@@ -95,6 +95,9 @@ CLI_ENV = dict(
     os.environ,
     JAX_PLATFORMS="cpu",
     REIN48_FORCE_CPU="1",
+    # Unset (empty) skips the sitecustomize axon/TPU registration entirely
+    # — CPU subprocesses must not touch the single shared TPU tunnel.
+    PALLAS_AXON_POOL_IPS="",
     XLA_FLAGS="--xla_force_host_platform_device_count=8",
 )
 
