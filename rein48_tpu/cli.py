@@ -144,6 +144,62 @@ def _cmd_train(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_parity(args: argparse.Namespace) -> int:
+    """Fixed-seed trajectory parity check (BASELINE config #1).
+
+    Plays whole games three ways — the ACTUAL reference code (if mounted),
+    the clean-room oracle, and the JAX engine replaying the oracle's spawn
+    decisions — and asserts bit-identical boards at every step.
+    """
+    import json
+    import random as pyrandom
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rein48_tpu.engine import core, oracle
+
+    results = []
+    for seed in range(args.seeds):
+        rng = pyrandom.Random(seed)
+        game = oracle.OracleGame(rng=rng)
+        spawn_iter = iter(game.spawn_log)
+        board = jnp.zeros((4, 4), dtype=jnp.uint8)
+        d = next(spawn_iter)
+        board = core.place_tile(
+            board, jnp.asarray(d.rank), jnp.asarray(d.value_exp), jnp.asarray(True)
+        )
+        steps, done, diverged = 0, False, False
+        while not done and steps < args.max_steps:
+            action = oracle.random_action(rng)
+            prev_spawns = len(game.spawn_log)
+            state, _, done = game.step(action)
+            nb, _, changed = core.move_boards(
+                board, jnp.asarray(core.ACTION_ALIASES[action])
+            )
+            if len(game.spawn_log) > prev_spawns:
+                dd = game.spawn_log[-1]
+                nb = core.place_tile(
+                    nb, jnp.asarray(dd.rank), jnp.asarray(dd.value_exp),
+                    jnp.asarray(True),
+                )
+            board = nb
+            if not np.array_equal(
+                np.asarray(core.boards_to_values(board)), np.asarray(state)
+            ):
+                diverged = True
+                break
+            steps += 1
+        results.append(
+            {"seed": seed, "steps": steps, "done": done, "parity": not diverged}
+        )
+        status = "OK " if not diverged else "FAIL"
+        print(f"seed {seed}: {status} {steps} steps", file=sys.stderr)
+    ok = all(r["parity"] for r in results)
+    print(json.dumps({"parity": ok, "games": results}))
+    return 0 if ok else 1
+
+
 def _cmd_eval(args: argparse.Namespace) -> int:
     import json
 
@@ -250,6 +306,11 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--checkpoint-dir", default=None)
     pt.add_argument("--checkpoint-every", type=int, default=100)
     pt.set_defaults(fn=_cmd_train)
+
+    pr = sub.add_parser("parity", help="fixed-seed parity check vs reference")
+    pr.add_argument("--seeds", type=int, default=5)
+    pr.add_argument("--max-steps", type=int, default=3000)
+    pr.set_defaults(fn=_cmd_parity)
 
     pe = sub.add_parser("eval", help="evaluate a trained policy")
     pe.add_argument("--algo", choices=("a3c",), default="a3c")

@@ -33,6 +33,21 @@ class TestMetricLogger:
         assert "loss=0.125" in out
 
 
+class TestPlot:
+    def test_plot_from_csv(self, tmp_path):
+        from rein48_tpu.utils.plot import plot_metrics
+
+        logger = MetricLogger(log_dir=str(tmp_path), stdout=False)
+        for i in range(5):
+            logger.write(
+                {"update": i, "loss": 1.0 / (i + 1), "entropy": 1.0, "best_tile": 2**i}
+            )
+        logger.close()
+        out = plot_metrics(str(tmp_path / "metrics.csv"))
+        assert os.path.exists(out)
+        assert os.path.getsize(out) > 1000
+
+
 class TestCheckpointer:
     def test_save_restore_a3c_state(self, tmp_path):
         from rein48_tpu.train.a3c import A3CConfig, init_a3c, make_a3c_step
