@@ -12,5 +12,12 @@ slice — with fixed-seed parity against the Python reference.
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# Partitionable threefry: per-env key derivation lowers to shardable ops
+# (no cross-batch gathers) so the env batch shards cleanly over a mesh.
+# Set at import so tests and production generate IDENTICAL random streams.
+_jax.config.update("jax_threefry_partitionable", True)
+
 from rein48_tpu.env import Game  # noqa: F401
 from rein48_tpu.spec import DEFAULT_SPEC, EnvSpec  # noqa: F401

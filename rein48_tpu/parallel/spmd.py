@@ -21,11 +21,8 @@ Both produce bit-identical updates on the same mesh (tested in
 
 from __future__ import annotations
 
-import functools
-from typing import Callable
-
 import jax
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from rein48_tpu.parallel.mesh import DP_AXIS
 
@@ -41,38 +38,6 @@ def psum_mean_grads(grads, axis_name: str = DP_AXIS):
     return jax.tree.map(lambda g: jax.lax.psum(g, axis_name) / n, grads)
 
 
-def shard_map_train_step(
-    local_step: Callable,
-    mesh: Mesh,
-    *,
-    state_spec,
-    batched_fields_spec,
-) -> Callable:
-    """Wrap a per-shard train step into a mesh-wide ``shard_map``.
-
-    Args:
-        local_step: ``f(state) -> (state, metrics)`` operating on the LOCAL
-            shard of the env batch; must already ``psum`` its grads (use
-            :func:`psum_mean_grads`) and metrics over ``DP_AXIS``.
-        mesh: the device mesh.
-        state_spec: pytree of ``PartitionSpec`` matching the train state
-            (params replicated ``P()``, env fields ``P("dp")``).
-        batched_fields_spec: spec for the returned metrics (usually ``P()``
-            after the psum).
-
-    Returns:
-        The mesh-wide jitted step.
-    """
-    mapped = jax.shard_map(
-        local_step,
-        mesh=mesh,
-        in_specs=(state_spec,),
-        out_specs=(state_spec, batched_fields_spec),
-        check_vma=False,
-    )
-    return jax.jit(mapped)
-
-
 def replicate_spec(tree):
     """Pytree of ``P()`` (fully replicated) matching ``tree``."""
     return jax.tree.map(lambda _: P(), tree)
@@ -81,8 +46,3 @@ def replicate_spec(tree):
 def dp_batch_spec(tree):
     """Pytree of ``P('dp')`` (leading-axis sharded) matching ``tree``."""
     return jax.tree.map(lambda _: P(DP_AXIS), tree)
-
-
-@functools.lru_cache(maxsize=None)
-def axis_size(mesh: Mesh, axis: str = DP_AXIS) -> int:
-    return mesh.shape[axis]

@@ -247,7 +247,7 @@ def train_ddpg(
     for i in range(num_updates):
         state, metrics = step(state)
         if (i + 1) % log_every == 0 or i + 1 == num_updates:
-            m = {k: float(v) for k, v in metrics.items()}
+            m = {k: float(v) for k, v in jax.device_get(metrics).items()}
             eps = max(m["episodes"], 1.0)
             record = {
                 "update": i + 1,

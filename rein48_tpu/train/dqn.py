@@ -304,7 +304,7 @@ def train_dqn(
     for i in range(num_updates):
         state, metrics = step(state)
         if (i + 1) % log_every == 0 or i + 1 == num_updates:
-            m = {k: float(v) for k, v in metrics.items()}
+            m = {k: float(v) for k, v in jax.device_get(metrics).items()}
             dt = time.perf_counter() - t0
             eps = max(m["episodes"], 1.0)
             record = {
