@@ -262,6 +262,12 @@ def train_a3c(
     from rein48_tpu.parallel import mesh as mesh_lib
 
     state, model, optimizer = init_a3c(config, jax.random.key(seed))
+    if checkpointer is not None and checkpointer.latest_step() is not None:
+        state = checkpointer.restore(state)
+        print(
+            f"resumed from checkpoint step {int(state.update_step)}",
+            flush=True,
+        )
     step_fn = make_a3c_step(config, model, optimizer)
 
     if mesh is not None:
@@ -278,6 +284,7 @@ def train_a3c(
     step = jax.jit(step_fn, donate_argnums=(0,))
 
     history = []
+    base = int(state.update_step)
     t0 = time.perf_counter()
     for i in range(num_updates):
         state, metrics = step(state)
@@ -288,7 +295,7 @@ def train_a3c(
             dt = time.perf_counter() - t0
             eps = max(m["episodes"], 1.0)
             record = {
-                "update": i + 1,
+                "update": base + i + 1,
                 "loss": m["loss"],
                 "actor_loss": m["actor_loss"],
                 "critic_loss": m["critic_loss"],
@@ -307,5 +314,5 @@ def train_a3c(
             if logger is not None:
                 logger.write(record)
             if checkpointer is not None:
-                checkpointer.maybe_save(i + 1, state)
+                checkpointer.maybe_save(base + i + 1, state)
     return state, history

@@ -243,6 +243,7 @@ def train_ddpg(
     step = jax.jit(make_ddpg_step(config, actor, critic, tx), donate_argnums=(0,))
 
     history = []
+    base = int(state.update_step)
     t0 = time.perf_counter()
     for i in range(num_updates):
         state, metrics = step(state)
@@ -250,7 +251,7 @@ def train_ddpg(
             m = {k: float(v) for k, v in jax.device_get(metrics).items()}
             eps = max(m["episodes"], 1.0)
             record = {
-                "update": i + 1,
+                "update": base + i + 1,
                 "critic_loss": m["critic_loss"],
                 "actor_loss": m["actor_loss"],
                 "td_abs": m["td_abs"],
@@ -266,5 +267,5 @@ def train_ddpg(
             if logger is not None:
                 logger.write(record)
             if checkpointer is not None:
-                checkpointer.maybe_save(i + 1, state)
+                checkpointer.maybe_save(base + i + 1, state)
     return state, history

@@ -280,6 +280,12 @@ def train_dqn(
     from rein48_tpu.parallel import mesh as mesh_lib
 
     state, model, optimizer = init_dqn(config, jax.random.key(seed))
+    if checkpointer is not None and checkpointer.latest_step() is not None:
+        state = checkpointer.restore(state)
+        print(
+            f"resumed from checkpoint step {int(state.update_step)}",
+            flush=True,
+        )
     step_fn = make_dqn_step(config, model, optimizer)
 
     if mesh is not None:
@@ -300,6 +306,7 @@ def train_dqn(
     step = jax.jit(step_fn, donate_argnums=(0,))
 
     history = []
+    base = int(state.update_step)
     t0 = time.perf_counter()
     for i in range(num_updates):
         state, metrics = step(state)
@@ -308,7 +315,7 @@ def train_dqn(
             dt = time.perf_counter() - t0
             eps = max(m["episodes"], 1.0)
             record = {
-                "update": i + 1,
+                "update": base + i + 1,
                 "loss": m["loss"],
                 "td_abs": m["td_abs"],
                 "q_mean": m["q_mean"],
@@ -324,5 +331,5 @@ def train_dqn(
             if logger is not None:
                 logger.write(record)
             if checkpointer is not None:
-                checkpointer.maybe_save(i + 1, state)
+                checkpointer.maybe_save(base + i + 1, state)
     return state, history
