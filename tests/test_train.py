@@ -61,6 +61,27 @@ class TestA3C:
         _, m = step(state)
         assert np.isfinite(float(m["loss"]))
 
+    @pytest.mark.slow
+    def test_learning_curve_regression(self):
+        """Deterministic (fixed-seed) check that training IMPROVES play —
+        the learning-curve regression the reference never had."""
+        cfg = A3CConfig(
+            batch_size=128,
+            unroll_len=16,
+            model="cnn",
+            learning_rate=1e-3,
+            entropy_beta=0.02,
+            gamma=0.97,
+        )
+        _, history = train_a3c(cfg, num_updates=120, seed=0, log_every=20)
+        early = np.mean(
+            [r["avg_episode_tile_sum"] for r in history[:2] if r["episodes"]]
+        )
+        late = np.mean(
+            [r["avg_episode_tile_sum"] for r in history[-2:] if r["episodes"]]
+        )
+        assert late > early * 1.2, (early, late)
+
     def test_learns_on_short_horizon(self):
         """Entropy regularized policy on real rewards: loss finite, scores
         logged, and the policy's entropy responds to training."""
