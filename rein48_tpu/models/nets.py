@@ -54,9 +54,11 @@ class A3CMLP(nn.Module):
 
     hidden: int = 64
     # NOTE: the reference passes no `training=` to tf.layers.dropout
-    # (a3c.py:147,160), which defaults to False — its dropout is a no-op.
-    # Parity therefore means train=False here; rate kept for completeness.
+    # (a3c.py:147,160), which defaults to False — its dropout is a NO-OP.
+    # parity_noop_dropout=True (default) reproduces that regardless of the
+    # caller's train flag; set False to make dropout actually work.
     dropout_rate: float = 0.4
+    parity_noop_dropout: bool = True
     parity_relu_head: bool = True
     dtype: Any = jnp.float32
 
@@ -64,17 +66,18 @@ class A3CMLP(nn.Module):
     def __call__(self, obs: jax.Array, *, train: bool = False):
         x = obs.reshape(obs.shape[: -3] + (-1,)).astype(self.dtype)
         init = nn.initializers.xavier_uniform()
+        drop = (not train) or self.parity_noop_dropout
 
         a = nn.Dense(self.hidden, kernel_init=init, dtype=self.dtype, name="actor_fc")(x)
         a = nn.relu6(a)
-        a = nn.Dropout(self.dropout_rate, deterministic=not train)(a)
+        a = nn.Dropout(self.dropout_rate, deterministic=drop)(a)
         logits = nn.Dense(NUM_ACTIONS, kernel_init=init, dtype=self.dtype, name="actor_out")(a)
         if self.parity_relu_head:
             logits = nn.relu(logits)
 
         c = nn.Dense(self.hidden, kernel_init=init, dtype=self.dtype, name="critic_fc")(x)
         c = nn.relu6(c)
-        c = nn.Dropout(self.dropout_rate, deterministic=not train)(c)
+        c = nn.Dropout(self.dropout_rate, deterministic=drop)(c)
         value = nn.Dense(1, kernel_init=init, dtype=self.dtype, name="critic_out")(c)
         return logits.astype(jnp.float32), jnp.squeeze(value, -1).astype(jnp.float32)
 
