@@ -112,30 +112,31 @@ _ROW_LUT = lut.build_row_lut()
 _PACK_WEIGHTS = lut.ROW_PACK_WEIGHTS
 
 
-def merge_rows_left(rows: jax.Array):
-    """Merge rows of exponents toward index 0 — pure vector algebra.
+def merge_cells_left(c0, c1, c2, c3):
+    """Merge one line of 4 cell arrays toward index 0 — pure vector algebra.
 
-    The move kernel. An earlier design used a 65536-entry row LUT
-    (``lut.py``, still the test oracle); on TPU the gather serializes and
-    capped the engine at ~10M steps/s, so the kernel is instead computed
-    directly on the VPU: a 3-pass compare-exchange network compacts
-    nonzeros left (stable), then three mutually-exclusive pair-merge flags
-    with left priority build the output — the same algebra
-    ``lut.build_row_lut`` uses, now inline and fully elementwise. No
-    gathers, no data-dependent control flow; ~50 int ops per row.
+    The move kernel, in structure-of-arrays form so both the jnp engine
+    (:func:`merge_rows_left`) and the fused Pallas rollout kernel
+    (``fused.py``) share one proven implementation. A 3-pass
+    compare-exchange network compacts nonzeros left (stable), then three
+    mutually-exclusive pair-merge flags with left priority build the
+    output — the same algebra ``lut.build_row_lut`` uses, now inline and
+    fully elementwise. No gathers, no data-dependent control flow; ~50 int
+    ops per line.
 
     Semantics match the reference two-pointer pass exactly
     (``GameClient.py:140-180``); proven exhaustively against the LUT over
     all 65536 rows in ``tests/test_core.py``.
 
     Args:
-        rows: ``uint8[..., 4]`` tile exponents.
+        c0, c1, c2, c3: integer arrays of tile exponents (any shared shape
+            and integer dtype), cell 0 being the merge target end.
 
     Returns:
-        ``(new_rows, row_score, row_changed)``: merged rows, int32 merge
-        score per row, bool changed per row.
+        ``((o0, o1, o2, o3), score)``: merged cells (input dtype) and int32
+        merge score per line.
     """
-    c0, c1, c2, c3 = (rows[..., i] for i in range(4))
+    dtype = c0.dtype
     # Stable left-compaction: push zeros right, 3 bubble passes.
     for _ in range(3):
         sw = (c0 == 0) & (c1 != 0)
@@ -151,7 +152,7 @@ def merge_rows_left(rows: jax.Array):
     m23 = (c2 != 0) & (c2 == c3) & ~m12
 
     def bump(e):
-        return jnp.minimum(e + 1, MAX_EXPONENT).astype(rows.dtype)
+        return jnp.minimum(e + 1, MAX_EXPONENT).astype(dtype)
 
     zero = jnp.zeros_like(c0)
     o0 = jnp.where(m01, bump(c0), c0)
@@ -162,7 +163,6 @@ def merge_rows_left(rows: jax.Array):
         jnp.where(m12, c3, jnp.where(m23, bump(c2), c2)),
     )
     o3 = jnp.where(m01 | m12 | m23, zero, c3)
-    new_rows = jnp.stack([o0, o1, o2, o3], axis=-1)
 
     one = jnp.ones_like(c0, dtype=jnp.int32)
     score = (
@@ -170,6 +170,28 @@ def merge_rows_left(rows: jax.Array):
         + jnp.where(m12, one << (c1.astype(jnp.int32) + 1), 0)
         + jnp.where(m23, one << (c2.astype(jnp.int32) + 1), 0)
     )
+    return (o0, o1, o2, o3), score
+
+
+def merge_rows_left(rows: jax.Array):
+    """Merge rows of exponents toward index 0.
+
+    Array-of-structures wrapper over :func:`merge_cells_left` (see there
+    for the algorithm). An earlier design used a 65536-entry row LUT
+    (``lut.py``, still the test oracle); on TPU the gather serializes and
+    capped the engine at ~10M steps/s, so the kernel is computed directly
+    on the VPU instead.
+
+    Args:
+        rows: ``uint8[..., 4]`` tile exponents.
+
+    Returns:
+        ``(new_rows, row_score, row_changed)``: merged rows, int32 merge
+        score per row, bool changed per row.
+    """
+    cells = tuple(rows[..., i] for i in range(4))
+    (o0, o1, o2, o3), score = merge_cells_left(*cells)
+    new_rows = jnp.stack([o0, o1, o2, o3], axis=-1)
     changed = jnp.any(new_rows != rows, axis=-1)
     return new_rows, score, changed
 
