@@ -208,20 +208,33 @@ def _cmd_eval(args: argparse.Namespace) -> int:
     from rein48_tpu.train.evaluate import evaluate_policy
 
     if args.algo == "a3c":
-        from rein48_tpu.train.a3c import A3CConfig, init_a3c
+        from rein48_tpu.train.a3c import A3CConfig
 
-        config = A3CConfig(batch_size=8, unroll_len=2, model=args.model)
-        state, model, _ = init_a3c(config, jax.random.key(0))
+        model = A3CConfig(model=args.model).make_model()
+    elif args.algo == "dqn":
+        from rein48_tpu.train.dqn import DQNConfig
+
+        model = DQNConfig(model=args.model).make_model()
     else:
-        raise SystemExit("eval currently supports --algo a3c checkpoints")
+        raise SystemExit("eval supports --algo a3c or dqn checkpoints")
 
     if args.checkpoint_dir:
         from rein48_tpu.utils.checkpoint import Checkpointer
 
+        # Params-only restore: eval needs no env batch / replay shapes.
         ckpt = Checkpointer(args.checkpoint_dir)
-        state = ckpt.restore(state)
+        params = ckpt.restore_field("params")
         print(f"restored step {ckpt.latest_step()}", file=sys.stderr)
-    params = state.params
+    else:
+        import jax.numpy as jnp
+
+        from rein48_tpu.engine import core
+        from rein48_tpu.train import common
+
+        dummy = common.encode_obs(
+            jnp.zeros((1, core.BOARD_SIZE, core.BOARD_SIZE), jnp.uint8), "onehot"
+        )
+        params = model.init(jax.random.key(0), dummy)["params"]
     stats = evaluate_policy(
         params,
         model,
@@ -243,12 +256,35 @@ def _cmd_bench(args: argparse.Namespace) -> int:
     from rein48_tpu.engine import vector
     from rein48_tpu.utils.profiling import force
 
+    def run_jnp(st, _rnd):
+        st, _ = vector.rollout_random(st, args.unroll)
+        return st
+
+    def run_fused(st, rnd):
+        from rein48_tpu.engine import fused
+
+        st, _ = fused.rollout_random_fused(st, args.seed * 1000 + rnd, args.unroll)
+        return st
+
+    engine = args.engine
+    rollout = run_fused if engine == "fused" else run_jnp
     state = vector.reset_batch(jax.random.key(args.seed), args.batch)
-    state, _ = vector.rollout_random(state, args.unroll)
+    if engine == "auto":
+        # Prefer the fused Pallas kernel; fall back to the portable jnp
+        # engine on backends without Mosaic support.
+        try:
+            state = run_fused(state, -1)
+            force(state.score)
+            engine, rollout = "fused", run_fused
+        except Exception as exc:
+            print(f"fused engine unavailable ({type(exc).__name__}); "
+                  "using jnp engine", file=sys.stderr)
+            engine, rollout = "jnp", run_jnp
+    state = rollout(state, 0)  # compile + warm up
     force(state.score)
     t0 = time.perf_counter()
-    for _ in range(args.rounds):
-        state, _ = vector.rollout_random(state, args.unroll)
+    for i in range(args.rounds):
+        state = rollout(state, i + 1)
     force(state.score)
     dt = time.perf_counter() - t0
     sps = args.batch * args.unroll * args.rounds / dt
@@ -258,6 +294,7 @@ def _cmd_bench(args: argparse.Namespace) -> int:
                 "metric": "env_steps_per_sec",
                 "value": round(sps, 1),
                 "unit": "steps/s",
+                "engine": engine,
                 "batch": args.batch,
                 "unroll": args.unroll,
                 "device": str(jax.devices()[0]),
@@ -313,7 +350,7 @@ def build_parser() -> argparse.ArgumentParser:
     pr.set_defaults(fn=_cmd_parity)
 
     pe = sub.add_parser("eval", help="evaluate a trained policy")
-    pe.add_argument("--algo", choices=("a3c",), default="a3c")
+    pe.add_argument("--algo", choices=("a3c", "dqn"), default="a3c")
     pe.add_argument("--model", default="resnet")
     pe.add_argument("--checkpoint-dir", default=None)
     pe.add_argument("--num-envs", type=int, default=512)
@@ -327,6 +364,12 @@ def build_parser() -> argparse.ArgumentParser:
     pb.add_argument("--unroll", type=int, default=1024)
     pb.add_argument("--rounds", type=int, default=4)
     pb.add_argument("--seed", type=int, default=0)
+    pb.add_argument(
+        "--engine",
+        choices=("auto", "fused", "jnp"),
+        default="auto",
+        help="fused Pallas kernel (TPU) or portable jnp scan",
+    )
     pb.set_defaults(fn=_cmd_bench)
     return p
 

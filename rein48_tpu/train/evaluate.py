@@ -74,7 +74,12 @@ def evaluate_policy(
     completed-episode statistics. Greedy = argmax over legal actions."""
 
     def apply_fn(p, obs):
-        return model.apply({"params": p}, obs)
+        out = model.apply({"params": p}, obs)
+        if isinstance(out, tuple):  # policy nets: (logits, value)
+            return out
+        # Q-networks return q[..., 4]: greedy/categorical over (masked)
+        # q-values; the value channel is unused by the rollout.
+        return out, jnp.zeros(out.shape[:-1], out.dtype)
 
     key = jax.random.key(seed)
     k_env, k_roll = jax.random.split(key)

@@ -67,5 +67,18 @@ class Checkpointer:
             step, args=ocp.args.StandardRestore(target)
         )
 
+    def restore_field(self, field: str, step: Optional[int] = None) -> Any:
+        """Restore one top-level field (e.g. ``"params"``) of the state.
+
+        Unlike :meth:`restore` this needs no template state, so an
+        eval-only process can load params without reconstructing the
+        trainer's env batch / replay buffer shapes.
+        """
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {self.directory}")
+        restored = self._mngr.restore(step)
+        return restored[field]
+
     def close(self) -> None:
         self._mngr.close()

@@ -51,3 +51,41 @@ def test_presets_exist_and_build():
     a3c = configs.a3c_8chip()
     assert a3c.batch_size % 8 == 0
     assert configs.multihost(1024).batch_size == 1024
+
+
+def test_qnetwork_evaluates():
+    """Q-nets (no value head) run through the same eval path as policies."""
+    model = nets.QNetwork(channels=(8, 16), hidden=32)
+    params = model.init(
+        jax.random.key(2), encode_onehot(np.zeros((1, 4, 4), np.uint8))
+    )["params"]
+    stats = evaluate_policy(
+        params, model, num_envs=16, num_steps=300, seed=2, greedy=True
+    )
+    assert stats["episodes"] > 0
+
+
+def test_restore_field_params_only(tmp_path):
+    """Eval-time params restore needs no env/replay shape agreement.
+
+    Regression: `Checkpointer.restore` requires a template state whose env
+    batch matches training's; `restore_field("params")` must load params
+    from a checkpoint written with a DIFFERENT batch size.
+    """
+    import jax.numpy as jnp
+
+    from rein48_tpu.train.a3c import A3CConfig, init_a3c
+    from rein48_tpu.utils.checkpoint import Checkpointer
+
+    config = A3CConfig(batch_size=32, unroll_len=4, model="mlp")
+    state, _, _ = init_a3c(config, jax.random.key(3))
+    ckpt = Checkpointer(str(tmp_path / "ckpt"), save_every=1)
+    ckpt.save(1, state)
+
+    params = ckpt.restore_field("params")
+    expect = jax.tree.leaves(state.params)
+    got = jax.tree.leaves(params)
+    assert len(expect) == len(got)
+    for e, g in zip(expect, got):
+        np.testing.assert_array_equal(np.asarray(e), np.asarray(g))
+    ckpt.close()
