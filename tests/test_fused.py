@@ -194,3 +194,43 @@ class TestFusedRolloutInterpret:
         assert eng_eps > 0 and fused_eps > 0
         ratio = fused_eps / eng_eps
         assert 0.5 < ratio < 2.0
+
+
+class TestFusedRolloutSharded:
+    """The fused kernel composes with shard_map over a device mesh.
+
+    Per-env randomness is injected (sharded along the same batch axis), so
+    the 8-device run must be bit-identical to the single-device reference —
+    the multi-chip scaling story for the headline bench is just dp-sharding
+    the batch over the mesh with zero collectives.
+    """
+
+    def test_sharded_matches_reference(self):
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("dp",))
+        B, T = 1024, 6
+        state = vector.reset_batch(jax.random.key(0), B)
+        bits = jax.random.bits(jax.random.key(1), (T, 5, B), dtype=jnp.uint32)
+
+        def local_roll(st, bt):
+            return fused.rollout_random_fused(
+                st, 0, T, block_envs=128, interpret=True, bits=bt
+            )
+
+        specs_state = jax.tree.map(lambda _: P("dp"), state)
+        specs_stats = fused.FusedRolloutStats(P("dp"), P("dp"), P("dp"), P("dp"))
+        sharded = jax.shard_map(
+            local_roll,
+            mesh=mesh,
+            in_specs=(specs_state, P(None, None, "dp")),
+            out_specs=(specs_state, specs_stats),
+            check_vma=False,
+        )
+        s_sh, st_sh = jax.jit(sharded)(state, bits)
+        s_ref, st_ref = fused.rollout_bits_reference(state, bits)
+        np.testing.assert_array_equal(np.asarray(s_sh.boards), np.asarray(s_ref.boards))
+        np.testing.assert_array_equal(np.asarray(s_sh.score), np.asarray(s_ref.score))
+        np.testing.assert_array_equal(
+            np.asarray(st_sh.episodes), np.asarray(st_ref.episodes)
+        )
