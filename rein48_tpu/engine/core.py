@@ -137,14 +137,19 @@ def merge_cells_left(c0, c1, c2, c3):
         merge score per line.
     """
     dtype = c0.dtype
-    # Stable left-compaction: push zeros right, 3 bubble passes.
-    for _ in range(3):
-        sw = (c0 == 0) & (c1 != 0)
-        c0, c1 = jnp.where(sw, c1, c0), jnp.where(sw, 0, c1)
-        sw = (c1 == 0) & (c2 != 0)
-        c1, c2 = jnp.where(sw, c2, c1), jnp.where(sw, 0, c2)
-        sw = (c2 == 0) & (c3 != 0)
-        c2, c3 = jnp.where(sw, c3, c2), jnp.where(sw, 0, c3)
+    # Stable left-compaction: push zeros right with the triangle bubble
+    # schedule (3+2+1 compare-exchanges — after pass k the rightmost k
+    # slots are final, so later passes shrink; 6 CEs, minimal for n=4).
+    # Each CE only moves a nonzero left past a zero, so the relative
+    # order of nonzero tiles (the reference's slide order) is preserved.
+    for npairs in (3, 2, 1):
+        cells = [c0, c1, c2, c3]
+        for i in range(npairs):
+            a, b = cells[i], cells[i + 1]
+            sw = (a == 0) & (b != 0)
+            cells[i] = jnp.where(sw, b, a)
+            cells[i + 1] = jnp.where(sw, 0, b)
+        c0, c1, c2, c3 = cells
 
     # Pair-merge with left priority; a merged tile cannot merge again.
     m01 = (c0 != 0) & (c0 == c1)

@@ -104,30 +104,29 @@ def fused_step_soa(
     c = list(cells)
     b_act, b_rank, b_val, b_rrank, b_rval = bits
     action = (b_act & 3).astype(jnp.int32)
-    is_up = action == core.UP
-    is_down = action == core.DOWN
-    is_left = action == core.LEFT
+    # Orientation toward merge-left factors into transpose (UP/DOWN) then
+    # in-line reverse (DOWN/RIGHT) — two single-select stages (2 selects
+    # per cell each way) instead of a 3-deep select over all 4 directions.
+    # Same transpose/flip algebra as core.move_boards.
+    is_vert = action <= core.DOWN  # UP=0, DOWN=1 (core.py action codes)
+    is_rev = (action & 1) == 1  # DOWN=1, RIGHT=3
 
-    def pick(up, down, left, right):
-        return jnp.where(is_up, up, jnp.where(is_down, down, jnp.where(is_left, left, right)))
-
-    # Orient every board toward merge-left: line l, position p sources cell
-    # (same transpose/flip algebra as core.move_boards, as index selects).
-    def oriented(l, p):
-        return pick(c[4 * p + l], c[4 * (3 - p) + l], c[4 * l + p], c[4 * l + (3 - p)])
-
+    # Stage 1 (transpose select): line l, position p of the working grid.
+    t = [[jnp.where(is_vert, c[4 * p + l], c[4 * l + p]) for p in range(4)] for l in range(4)]
+    # Stage 2 (reverse select): flip each line for DOWN/RIGHT.
     merged = []
     merge_score = jnp.zeros_like(score)
     for l in range(4):
-        line, line_score = core.merge_cells_left(*(oriented(l, p) for p in range(4)))
+        line = [jnp.where(is_rev, t[l][3 - p], t[l][p]) for p in range(4)]
+        line, line_score = core.merge_cells_left(*line)
         merged.append(line)
         merge_score = merge_score + line_score
 
-    # Un-orient: board cell (r, cc) <- merged line/position per direction.
-    def unoriented(r, cc):
-        return pick(merged[cc][r], merged[cc][3 - r], merged[r][cc], merged[r][3 - cc])
-
-    moved = [unoriented(i // 4, i % 4) for i in range(NUM_CELLS)]
+    # Un-orient: un-reverse each line, then un-transpose.
+    u = [[jnp.where(is_rev, merged[l][3 - p], merged[l][p]) for p in range(4)] for l in range(4)]
+    moved = [
+        jnp.where(is_vert, u[i % 4][i // 4], u[i // 4][i % 4]) for i in range(NUM_CELLS)
+    ]
 
     changed = moved[0] != c[0]
     for i in range(1, NUM_CELLS):
@@ -141,17 +140,21 @@ def fused_step_soa(
     rank = core.spawn_rank_from_bits(b_rank, n_blanks)
     value_exp = core.spawn_exp_from_bits(b_val)
     enabled = changed & (n_blanks > 0)
+    # Fold `enabled` into the rank: a disabled spawn targets rank -1, which
+    # no csum value can hit (csum >= 1 at every blank cell), so the
+    # per-cell `& enabled` disappears from the 16-iteration scan.
+    rank1 = jnp.where(enabled, rank + 1, 0)
     spawned = []
     csum = jnp.zeros_like(rank)
     for i in range(NUM_CELLS):
         csum = csum + blanks[i].astype(jnp.int32)
-        hit = blanks[i] & (csum == rank + 1) & enabled
+        hit = blanks[i] & (csum == rank1)
         spawned.append(jnp.where(hit, value_exp, moved[i]))
 
-    # Game over: full board with no equal 4-neighbour pair.
-    full = spawned[0] != 0
-    for i in range(1, NUM_CELLS):
-        full = full & (spawned[i] != 0)
+    # Game over: full board with no equal 4-neighbour pair. Fullness falls
+    # out of the blank count: the spawn filled exactly one blank iff it was
+    # enabled, so post-spawn blanks == n_blanks - enabled.
+    full = n_blanks == enabled.astype(jnp.int32)
     neigh = jnp.zeros_like(full)
     for r in range(4):
         for cc in range(3):
