@@ -13,9 +13,9 @@ stays machine-readable.
 
 Two engines are measured and the best wins the headline:
 * the fused Pallas rollout kernel (``engine/fused.py``): whole rollout in
-  VMEM, hardware PRNG — ~2.5G steps/s on one v5e chip;
+  VMEM, hardware PRNG — ~2.8G steps/s on one v5e chip;
 * the jnp ``lax.scan`` engine (``engine/vector.py``): threefry streams,
-  B-invariant — ~220M steps/s; also the fallback if Pallas is unavailable
+  B-invariant — ~300M steps/s; also the fallback if Pallas is unavailable
   on the backend.
 
 Measurement protocol (tunnel-aware, see .claude/skills/verify/SKILL.md):
