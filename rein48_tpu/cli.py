@@ -205,8 +205,17 @@ def _cmd_eval(args: argparse.Namespace) -> int:
 
     import jax
 
-    from rein48_tpu.train.evaluate import evaluate_policy
+    from rein48_tpu.train.evaluate import evaluate_policy, evaluate_search
 
+    if args.algo == "search":
+        stats = evaluate_search(
+            depth=args.depth,
+            num_envs=args.num_envs,
+            num_steps=args.max_steps,
+            seed=args.seed,
+        )
+        print(json.dumps(stats))
+        return 0
     if args.algo == "a3c":
         from rein48_tpu.train.a3c import A3CConfig
 
@@ -349,9 +358,10 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--max-steps", type=int, default=3000)
     pr.set_defaults(fn=_cmd_parity)
 
-    pe = sub.add_parser("eval", help="evaluate a trained policy")
-    pe.add_argument("--algo", choices=("a3c", "dqn"), default="a3c")
+    pe = sub.add_parser("eval", help="evaluate a trained policy or the planner")
+    pe.add_argument("--algo", choices=("a3c", "dqn", "search"), default="a3c")
     pe.add_argument("--model", default="resnet")
+    pe.add_argument("--depth", type=int, default=1, help="expectimax depth (--algo search)")
     pe.add_argument("--checkpoint-dir", default=None)
     pe.add_argument("--num-envs", type=int, default=512)
     pe.add_argument("--max-steps", type=int, default=4096)

@@ -1,0 +1,159 @@
+# Copyright 2026 The rein48-tpu Authors.
+# SPDX-License-Identifier: Apache-2.0
+"""Batched expectimax search — a planning policy the reference never had.
+
+The reference's only non-learned controls are uniform-random and stdin
+(``/root/reference/control/rand.py``, ``control/hand.py``). This module
+adds the classic 2048 planning baseline: depth-limited expectimax over
+the exact game tree — max over legal moves, expectation over the spawn
+distribution (uniform blank cell; tile 2 w.p. 0.9 / 4 w.p. 0.1, the
+``GameClient.py:103-127`` rule) — with a snake-gradient heuristic at the
+leaves.
+
+TPU-native shape: the tree is never walked node-by-node. Each depth level
+is one tensor expansion — ``[N]`` boards become ``[N, 4]`` afterstates
+(one ``core.move_boards`` call) and then ``[N, 4, 32]`` chance children
+(16 cells x 2 tile values, probability-masked) — so the whole search over
+a batch of envs is a few fused VPU ops on a ``[B * 128^depth]`` board
+tensor: no recursion, no branching, fully jit/vmap/shard-compatible.
+Depth 1 evaluates 128 leaves per board, depth 2 evaluates 16384; at 2048's
+branching that is exact expectimax, not a sampled approximation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rein48_tpu.engine import core
+
+NUM_ACTIONS = core.NUM_ACTIONS
+NUM_CELLS = core.NUM_CELLS
+# 16 spawn cells x 2 tile values per chance node.
+CHANCE_BRANCH = 2 * NUM_CELLS
+SPAWN_P4 = 0.1
+# Value assigned to a dead (no legal move) max node. Must dominate any
+# reachable heuristic value (max ~2^16 * 4^15 ~ 7e13).
+DEATH_VALUE = -1e15
+
+# Snake-gradient heuristic weights: tile values weighted by 4^rank along a
+# boustrophedon path, rewarding a monotone chain anchored in a corner —
+# the standard hand-crafted 2048 evaluation. Host-side numpy constant so
+# jit embeds it as a literal (see core._ROW_LUT note).
+_SNAKE_RANK = np.array(
+    [
+        [15, 14, 13, 12],
+        [8, 9, 10, 11],
+        [7, 6, 5, 4],
+        [0, 1, 2, 3],
+    ],
+    dtype=np.float32,
+)
+_SNAKE_WEIGHTS = (4.0**_SNAKE_RANK).astype(np.float32)
+
+
+def heuristic(boards: jax.Array) -> jax.Array:
+    """Leaf evaluation: snake-weighted tile sum, ``float32[...]``.
+
+    The best fixed corner/orientation is taken per board (max over the 8
+    symmetries of the snake), so the heuristic does not prefer an
+    arbitrary corner.
+    """
+    vals = jnp.where(boards > 0, jnp.exp2(boards.astype(jnp.float32)), 0.0)
+    w = jnp.asarray(_SNAKE_WEIGHTS)
+    best = None
+    for flip_h in (False, True):
+        for flip_v in (False, True):
+            for transpose in (False, True):
+                ww = w
+                if transpose:
+                    ww = ww.T
+                if flip_h:
+                    ww = ww[:, ::-1]
+                if flip_v:
+                    ww = ww[::-1, :]
+                s = jnp.sum(vals * ww, axis=(-2, -1))
+                best = s if best is None else jnp.maximum(best, s)
+    return best
+
+
+def _chance_children(after: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """All spawn outcomes of afterstates ``[..., 4, 4]``.
+
+    Returns:
+        ``(children[..., 32, 4, 4], probs[..., 32])`` — children ordered
+        (cell 0 tile 2, ..., cell 15 tile 2, cell 0 tile 4, ...); the
+        probability of a non-blank cell's child is 0 (its board is
+        garbage and is masked out of the expectation).
+    """
+    blanks = (after == 0).reshape(after.shape[:-2] + (NUM_CELLS,))
+    n_blanks = jnp.sum(blanks, axis=-1, keepdims=True).astype(jnp.float32)
+    p_cell = blanks.astype(jnp.float32) / jnp.maximum(n_blanks, 1.0)
+    probs = jnp.concatenate(
+        [p_cell * (1.0 - SPAWN_P4), p_cell * SPAWN_P4], axis=-1
+    )
+
+    eye = jnp.eye(NUM_CELLS, dtype=after.dtype).reshape(
+        NUM_CELLS, core.BOARD_SIZE, core.BOARD_SIZE
+    )
+    base = after[..., None, :, :]
+    children = jnp.concatenate([base + eye, base + 2 * eye], axis=-3)
+    return children, probs
+
+
+def _afterstates(boards: jax.Array):
+    """Afterstates of every action: ``[..., 4, 4, 4]`` + reward + legal."""
+    actions = jnp.arange(NUM_ACTIONS, dtype=jnp.int32)
+    actions = jnp.broadcast_to(actions, boards.shape[:-2] + (NUM_ACTIONS,))
+    tiled = jnp.broadcast_to(
+        boards[..., None, :, :],
+        boards.shape[:-2] + (NUM_ACTIONS,) + boards.shape[-2:],
+    )
+    after, reward, changed = core.move_boards(tiled, actions)
+    return after, reward, changed
+
+
+def _value_max(boards: jax.Array, depth: int) -> jax.Array:
+    """Expectimax value of max nodes ``[...]`` at the given search depth."""
+    q, legal = _action_values(boards, depth)
+    dead = ~jnp.any(legal, axis=-1)
+    best = jnp.max(jnp.where(legal, q, -jnp.inf), axis=-1)
+    return jnp.where(dead, DEATH_VALUE, best)
+
+
+def _value_chance(after: jax.Array, depth: int) -> jax.Array:
+    """Expected value of chance nodes (afterstates) ``[...]``."""
+    if depth <= 0:
+        return heuristic(after)
+    children, probs = _chance_children(after)
+    child_values = _value_max(children, depth - 1)
+    # Invalid children carry p=0; their (garbage, possibly DEATH) values
+    # must not produce 0 * -inf — values here are finite by construction.
+    return jnp.sum(probs * child_values, axis=-1)
+
+
+def _action_values(boards: jax.Array, depth: int):
+    """Q(board, a) = merge reward + E[value of afterstate]; plus legality."""
+    after, reward, legal = _afterstates(boards)
+    return reward + _value_chance(after, depth), legal
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def expectimax_policy(boards: jax.Array, depth: int = 1) -> jax.Array:
+    """Best action per board by depth-``depth`` expectimax, ``int32[...]``.
+
+    ``depth`` counts chance->max plies below the root's own chance layer:
+    depth 1 looks one spawn + one move ahead (128 leaves/board), depth 2
+    two (16k leaves/board). Illegal actions are never selected unless the
+    board is terminal (then action 0 — the caller's auto-reset takes over,
+    matching the engine's no-op-move semantics, ``GameClient.py:48-49``).
+    """
+    q, legal = _action_values(boards, depth)
+    q = jnp.where(legal, q, -jnp.inf)
+    all_illegal = ~jnp.any(legal, axis=-1, keepdims=True)
+    q = jnp.where(all_illegal, 0.0, q)
+    return jnp.argmax(q, axis=-1).astype(jnp.int32)

@@ -94,3 +94,48 @@ def evaluate_policy(
         greedy=greedy,
     )
     return {k: float(v) for k, v in stats.items()}
+
+
+@functools.partial(jax.jit, static_argnames=("depth", "num_steps"))
+def _search_rollout(start_state, *, depth, num_steps):
+    from rein48_tpu.control import search
+
+    def body(st, _):
+        actions = search.expectimax_policy(st.boards, depth)
+        return vector.step_autoreset(st, actions)
+
+    final, outs = jax.lax.scan(body, start_state, None, length=num_steps)
+    dones = outs.done.astype(jnp.float32)
+    n_eps = jnp.sum(dones)
+    safe = jnp.maximum(n_eps, 1.0)
+    max_tile = outs.max_tile
+    stats = {
+        "episodes": n_eps,
+        "avg_tile_sum": jnp.sum(outs.episode_tile_sum) / safe,
+        "avg_length": jnp.sum(outs.episode_length.astype(jnp.float32)) / safe,
+        "avg_score": jnp.sum(outs.episode_score) / safe,
+        "best_tile": jnp.max(max_tile),
+        "frac_512": jnp.sum(dones * (max_tile >= 512)) / safe,
+        "frac_1024": jnp.sum(dones * (max_tile >= 1024)) / safe,
+        "frac_2048": jnp.sum(dones * (max_tile >= 2048)) / safe,
+    }
+    return final, stats
+
+
+def evaluate_search(
+    *,
+    depth: int = 1,
+    num_envs: int = 256,
+    num_steps: int = 4096,
+    seed: int = 0,
+) -> Dict[str, float]:
+    """Play the expectimax planner (``control/search.py``) in lockstep.
+
+    Same statistics as :func:`evaluate_policy`; the "policy" is the exact
+    depth-limited expectimax over the game tree, so this doubles as the
+    non-learned capability baseline the learned policies are measured
+    against.
+    """
+    state = vector.reset_batch(jax.random.key(seed), num_envs)
+    _, stats = _search_rollout(state, depth=depth, num_steps=num_steps)
+    return {k: float(v) for k, v in stats.items()}
