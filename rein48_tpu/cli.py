@@ -106,6 +106,24 @@ def _cmd_train(args: argparse.Namespace) -> int:
             logger=logger,
             checkpointer=ckpt,
         )
+    elif args.algo == "ppo":
+        from rein48_tpu.train.ppo import PPOConfig, train_ppo
+
+        config = PPOConfig(
+            batch_size=args.batch_size,
+            unroll_len=args.unroll,
+            model=args.model,
+            learning_rate=args.lr,
+        )
+        _, history = train_ppo(
+            config,
+            num_updates=args.updates,
+            seed=args.seed,
+            mesh=mesh,
+            log_every=args.log_every,
+            logger=logger,
+            checkpointer=ckpt,
+        )
     elif args.algo == "dqn":
         from rein48_tpu.train.dqn import DQNConfig, train_dqn
 
@@ -220,12 +238,16 @@ def _cmd_eval(args: argparse.Namespace) -> int:
         from rein48_tpu.train.a3c import A3CConfig
 
         model = A3CConfig(model=args.model).make_model()
+    elif args.algo == "ppo":
+        from rein48_tpu.train.ppo import PPOConfig
+
+        model = PPOConfig(model=args.model).make_model()
     elif args.algo == "dqn":
         from rein48_tpu.train.dqn import DQNConfig
 
         model = DQNConfig(model=args.model).make_model()
     else:
-        raise SystemExit("eval supports --algo a3c or dqn checkpoints")
+        raise SystemExit("eval supports --algo a3c, ppo, or dqn checkpoints")
 
     if args.checkpoint_dir:
         from rein48_tpu.utils.checkpoint import Checkpointer
@@ -338,7 +360,9 @@ def build_parser() -> argparse.ArgumentParser:
     pp.set_defaults(fn=_cmd_play)
 
     pt = sub.add_parser("train", help="train an agent")
-    pt.add_argument("--algo", choices=("a3c", "dqn", "ddpg"), default="a3c")
+    pt.add_argument(
+        "--algo", choices=("a3c", "ppo", "dqn", "ddpg"), default="a3c"
+    )
     pt.add_argument("--model", default="resnet")
     pt.add_argument("--updates", type=int, default=200)
     pt.add_argument("--batch-size", type=int, default=4096)
@@ -359,7 +383,9 @@ def build_parser() -> argparse.ArgumentParser:
     pr.set_defaults(fn=_cmd_parity)
 
     pe = sub.add_parser("eval", help="evaluate a trained policy or the planner")
-    pe.add_argument("--algo", choices=("a3c", "dqn", "search"), default="a3c")
+    pe.add_argument(
+        "--algo", choices=("a3c", "ppo", "dqn", "search"), default="a3c"
+    )
     pe.add_argument("--model", default="resnet")
     pe.add_argument("--depth", type=int, default=1, help="expectimax depth (--algo search)")
     pe.add_argument("--checkpoint-dir", default=None)
