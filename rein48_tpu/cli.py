@@ -226,11 +226,24 @@ def _cmd_eval(args: argparse.Namespace) -> int:
     from rein48_tpu.train.evaluate import evaluate_policy, evaluate_search
 
     if args.algo == "search":
+        kwargs = {}
+        if args.checkpoint_dir:
+            # Value-guided planning: the trained critic evaluates leaves.
+            from rein48_tpu.models import nets
+            from rein48_tpu.utils.checkpoint import Checkpointer
+
+            ckpt = Checkpointer(args.checkpoint_dir)
+            kwargs = {
+                "model": nets.make_model(args.model),
+                "params": ckpt.restore_field("params"),
+            }
+            print(f"restored step {ckpt.latest_step()}", file=sys.stderr)
         stats = evaluate_search(
             depth=args.depth,
             num_envs=args.num_envs,
             num_steps=args.max_steps,
             seed=args.seed,
+            **kwargs,
         )
         print(json.dumps(stats))
         return 0

@@ -18,6 +18,13 @@ a batch of envs is a few fused VPU ops on a ``[B * 128^depth]`` board
 tensor: no recursion, no branching, fully jit/vmap/shard-compatible.
 Depth 1 evaluates 128 leaves per board, depth 2 evaluates 16384; at 2048's
 branching that is exact expectimax, not a sampled approximation.
+
+Two leaf evaluators: the snake heuristic (classic baseline,
+:func:`expectimax_policy`) or a trained critic's value head
+(:func:`make_expectimax_policy` + :func:`make_value_leaf`) — the latter
+turns the planner into an exact depth-d Bellman backup under the learned
+value function, and the leaf batch is one big dense forward that tiles
+straight onto the MXU.
 """
 
 from __future__ import annotations
@@ -117,29 +124,39 @@ def _afterstates(boards: jax.Array):
     return after, reward, changed
 
 
-def _value_max(boards: jax.Array, depth: int) -> jax.Array:
+def _value_max(boards, depth, leaf_value, reward_fn, gamma) -> jax.Array:
     """Expectimax value of max nodes ``[...]`` at the given search depth."""
-    q, legal = _action_values(boards, depth)
+    q, legal = _action_values(boards, depth, leaf_value, reward_fn, gamma)
     dead = ~jnp.any(legal, axis=-1)
     best = jnp.max(jnp.where(legal, q, -jnp.inf), axis=-1)
     return jnp.where(dead, DEATH_VALUE, best)
 
 
-def _value_chance(after: jax.Array, depth: int) -> jax.Array:
+def _value_chance(after, depth, leaf_value, reward_fn, gamma) -> jax.Array:
     """Expected value of chance nodes (afterstates) ``[...]``."""
     if depth <= 0:
-        return heuristic(after)
+        return leaf_value(after)
     children, probs = _chance_children(after)
-    child_values = _value_max(children, depth - 1)
+    child_values = _value_max(children, depth - 1, leaf_value, reward_fn, gamma)
     # Invalid children carry p=0; their (garbage, possibly DEATH) values
     # must not produce 0 * -inf — values here are finite by construction.
     return jnp.sum(probs * child_values, axis=-1)
 
 
-def _action_values(boards: jax.Array, depth: int):
-    """Q(board, a) = merge reward + E[value of afterstate]; plus legality."""
+def _action_values(boards, depth, leaf_value, reward_fn, gamma):
+    """Q(board, a) = merge reward + gamma * E[value of afterstate]."""
     after, reward, legal = _afterstates(boards)
-    return reward + _value_chance(after, depth), legal
+    q = reward_fn(reward) + gamma * _value_chance(
+        after, depth, leaf_value, reward_fn, gamma
+    )
+    return q, legal
+
+
+def _argmax_legal(q: jax.Array, legal: jax.Array) -> jax.Array:
+    q = jnp.where(legal, q, -jnp.inf)
+    all_illegal = ~jnp.any(legal, axis=-1, keepdims=True)
+    q = jnp.where(all_illegal, 0.0, q)
+    return jnp.argmax(q, axis=-1).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -152,8 +169,57 @@ def expectimax_policy(boards: jax.Array, depth: int = 1) -> jax.Array:
     board is terminal (then action 0 — the caller's auto-reset takes over,
     matching the engine's no-op-move semantics, ``GameClient.py:48-49``).
     """
-    q, legal = _action_values(boards, depth)
-    q = jnp.where(legal, q, -jnp.inf)
-    all_illegal = ~jnp.any(legal, axis=-1, keepdims=True)
-    q = jnp.where(all_illegal, 0.0, q)
-    return jnp.argmax(q, axis=-1).astype(jnp.int32)
+    q, legal = _action_values(
+        boards, depth, heuristic, lambda r: r, 1.0
+    )
+    return _argmax_legal(q, legal)
+
+
+def make_expectimax_policy(
+    depth: int,
+    *,
+    leaf_value=heuristic,
+    reward_fn=lambda r: r,
+    gamma: float = 1.0,
+):
+    """Build ``policy(boards) -> int32 actions`` with a custom leaf.
+
+    Generalizes :func:`expectimax_policy` into a value-guided planner:
+    pass a trained critic as ``leaf_value`` (see
+    :func:`make_value_leaf`) and the search becomes a depth-``depth``
+    exact Bellman backup over the game tree — AlphaZero-style
+    planning-with-a-learned-evaluator, where the tree replaces the policy
+    head and the critic replaces the hand-crafted snake heuristic. For a
+    critic trained on transformed rewards (``train/common.py``), pass the
+    matching ``reward_fn`` and ``gamma`` so interior merge rewards are in
+    the critic's own units.
+
+    Returns an UNJITTED pure function; callers jit it (it is also safe
+    inside ``lax.scan`` bodies, e.g. ``train/evaluate.py``).
+    """
+
+    def policy(boards: jax.Array) -> jax.Array:
+        q, legal = _action_values(boards, depth, leaf_value, reward_fn, gamma)
+        return _argmax_legal(q, legal)
+
+    return policy
+
+
+def make_value_leaf(model, params, obs_encoding: str = "onehot"):
+    """Leaf evaluator from a trained actor-critic's value head.
+
+    Wraps ``model.apply`` so it accepts the search's ``[..., 4, 4]``
+    board tensors of any leading rank (the tree expansion stacks extra
+    axes): boards are flattened to one batch axis for the network and the
+    values reshaped back.
+    """
+    from rein48_tpu.train import common
+
+    def leaf_value(boards: jax.Array) -> jax.Array:
+        lead = boards.shape[:-2]
+        flat = boards.reshape((-1,) + boards.shape[-2:])
+        obs = common.encode_obs(flat, obs_encoding)
+        _, value = model.apply({"params": params}, obs)
+        return value.reshape(lead)
+
+    return leaf_value

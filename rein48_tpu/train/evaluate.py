@@ -96,12 +96,13 @@ def evaluate_policy(
     return {k: float(v) for k, v in stats.items()}
 
 
-@functools.partial(jax.jit, static_argnames=("depth", "num_steps"))
-def _search_rollout(start_state, *, depth, num_steps):
-    from rein48_tpu.control import search
-
+# ``params`` is a traced argument (None for the heuristic planner) so a
+# trained critic's weights are NOT baked into the executable as device
+# constants (see .claude/skills/verify/SKILL.md on tunnel transfers).
+@functools.partial(jax.jit, static_argnames=("policy_fn", "num_steps"))
+def _search_rollout(params, start_state, *, policy_fn, num_steps):
     def body(st, _):
-        actions = search.expectimax_policy(st.boards, depth)
+        actions = policy_fn(params, st.boards)
         return vector.step_autoreset(st, actions)
 
     final, outs = jax.lax.scan(body, start_state, None, length=num_steps)
@@ -128,14 +129,39 @@ def evaluate_search(
     num_envs: int = 256,
     num_steps: int = 4096,
     seed: int = 0,
+    model: Any = None,
+    params: Any = None,
+    obs_encoding: str = "onehot",
+    gamma: float = 0.99,
+    reward_transform: str = "log2",
 ) -> Dict[str, float]:
     """Play the expectimax planner (``control/search.py``) in lockstep.
 
-    Same statistics as :func:`evaluate_policy`; the "policy" is the exact
-    depth-limited expectimax over the game tree, so this doubles as the
-    non-learned capability baseline the learned policies are measured
-    against.
+    Same statistics as :func:`evaluate_policy`. With ``model``/``params``
+    the leaves are evaluated by the trained critic's value head instead
+    of the snake heuristic (value-guided planning); ``gamma`` and
+    ``reward_transform`` must match the critic's training config so
+    interior merge rewards are in the critic's units.
     """
+    from rein48_tpu.control import search
+
+    if model is not None:
+        def policy_fn(p, boards):
+            leaf = search.make_value_leaf(model, p, obs_encoding)
+            return search.make_expectimax_policy(
+                depth,
+                leaf_value=leaf,
+                reward_fn=lambda r: common.transform_reward(
+                    r, reward_transform
+                ),
+                gamma=gamma,
+            )(boards)
+    else:
+        def policy_fn(p, boards):
+            return search.expectimax_policy(boards, depth)
+
     state = vector.reset_batch(jax.random.key(seed), num_envs)
-    _, stats = _search_rollout(state, depth=depth, num_steps=num_steps)
+    _, stats = _search_rollout(
+        params, state, policy_fn=policy_fn, num_steps=num_steps
+    )
     return {k: float(v) for k, v in stats.items()}

@@ -130,3 +130,55 @@ class TestPolicy:
         stats = evaluate_search(depth=1, num_envs=8, num_steps=64, seed=0)
         assert set(stats) >= {"episodes", "best_tile", "frac_2048"}
         assert np.isfinite(list(stats.values())).all()
+
+
+class TestValueGuidedSearch:
+    """make_expectimax_policy with a learned critic leaf (the planner's
+    AlphaZero-style mode; the reference has no planner at all)."""
+
+    def test_constant_leaf_reduces_to_greedy_reward(self):
+        """With a constant leaf and gamma=1, the depth-1 planner picks
+        the action with the largest immediate (transformed) reward."""
+        boards = _random_boards(jax.random.key(5), 32)
+        policy = search.make_expectimax_policy(
+            1, leaf_value=lambda b: jnp.zeros(b.shape[:-2]), gamma=0.0
+        )
+        actions = jax.jit(policy)(boards)
+        _, rewards, legal = search._afterstates(boards)
+        q = jnp.where(legal, rewards, -jnp.inf)
+        q = jnp.where(~jnp.any(legal, -1, keepdims=True), 0.0, q)
+        np.testing.assert_array_equal(
+            np.asarray(actions), np.asarray(jnp.argmax(q, -1))
+        )
+
+    def test_value_leaf_handles_tree_ranks(self):
+        """make_value_leaf must accept the search's stacked board ranks."""
+        from rein48_tpu.models import nets
+
+        model = nets.make_model("mlp")
+        boards = _random_boards(jax.random.key(6), 4)
+        from rein48_tpu.train import common
+
+        obs = common.encode_obs(boards, "onehot")
+        params = model.init(jax.random.key(0), obs)["params"]
+        leaf = search.make_value_leaf(model, params, "onehot")
+        v1 = leaf(boards)  # [4]
+        v2 = leaf(boards.reshape(2, 2, 4, 4))  # stacked rank
+        assert v1.shape == (4,)
+        np.testing.assert_allclose(
+            np.asarray(v2).reshape(4), np.asarray(v1), rtol=1e-6
+        )
+
+    def test_evaluate_search_with_value_leaf(self):
+        from rein48_tpu.models import nets
+        from rein48_tpu.train import common
+
+        model = nets.make_model("mlp")
+        obs = common.encode_obs(jnp.zeros((1, 4, 4), jnp.uint8), "onehot")
+        params = model.init(jax.random.key(1), obs)["params"]
+        stats = evaluate_search(
+            depth=1, num_envs=8, num_steps=64, seed=0,
+            model=model, params=params,
+        )
+        assert stats["episodes"] >= 0
+        assert np.isfinite(stats["avg_tile_sum"])
