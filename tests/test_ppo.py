@@ -12,6 +12,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 
 from rein48_tpu.agents import a3c as a3c_agent
 from rein48_tpu.agents import ppo as ppo_agent
@@ -203,3 +204,26 @@ class TestPPOTrainer:
         assert len(history) == 2
         assert np.isfinite(history[-1]["loss"])
         assert int(state.update_step) == 2
+
+    @pytest.mark.slow
+    def test_learning_curve_regression(self):
+        """Fixed-seed check that PPO training IMPROVES play (the same
+        regression A3C has in test_train.py)."""
+        cfg = PPOConfig(
+            batch_size=128,
+            unroll_len=16,
+            num_epochs=2,
+            num_minibatches=2,
+            model="cnn",
+            learning_rate=1e-3,
+            entropy_beta=0.02,
+            gamma=0.97,
+        )
+        _, history = train_ppo(cfg, num_updates=100, seed=0, log_every=20)
+        early = np.mean(
+            [r["avg_episode_tile_sum"] for r in history[:2] if r["episodes"]]
+        )
+        late = np.mean(
+            [r["avg_episode_tile_sum"] for r in history[-2:] if r["episodes"]]
+        )
+        assert late > early * 1.2, (early, late)
