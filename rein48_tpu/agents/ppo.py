@@ -30,18 +30,24 @@ import jax.numpy as jnp
 class PPOLossConfig(NamedTuple):
     """Clipped-surrogate hyperparameters (PPO defaults).
 
-    clip_eps: importance-ratio clip radius.
+    clip_eps: importance-ratio clip radius (relative: ratio in 1 ± eps).
     entropy_beta: entropy bonus weight (same role as ``ENTROPY_BETA``,
         ``a3c.py:21``).
     value_coef: critic loss weight.
     clip_value: if True, also clip the value prediction around its
         rollout-time estimate (PPO2-style) before the squared error.
+        Off by default: with log2 rewards and gamma=0.99 returns reach
+        ~1e2, so an absolute clip radius throttles critic learning.
+    value_clip_eps: ABSOLUTE clip radius on value predictions when
+        ``clip_value`` is on. Separate from ``clip_eps`` (which is a
+        relative radius on the ratio); scale it to return magnitude.
     """
 
     clip_eps: float = 0.2
     entropy_beta: float = 0.01
     value_coef: float = 0.5
-    clip_value: bool = True
+    clip_value: bool = False
+    value_clip_eps: float = 10.0
 
 
 def gae(
@@ -148,7 +154,9 @@ def ppo_loss(
 
     if config.clip_value:
         v_clip = behavior_values + jnp.clip(
-            values - behavior_values, -config.clip_eps, config.clip_eps
+            values - behavior_values,
+            -config.value_clip_eps,
+            config.value_clip_eps,
         )
         critic_loss = jnp.mean(
             jnp.maximum(

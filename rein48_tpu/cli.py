@@ -225,17 +225,41 @@ def _cmd_eval(args: argparse.Namespace) -> int:
 
     from rein48_tpu.train.evaluate import evaluate_policy, evaluate_search
 
+    # Settings resolution: explicit flag > config persisted next to the
+    # checkpoint (utils/checkpoint.py save_config) > trainer default. A
+    # checkpoint trained with non-default gamma/reward-transform/encoding
+    # must be evaluated in those same units — especially the value-guided
+    # planner, where a mismatch silently degrades the search.
+    saved = {}
+    ckpt = None
+    if args.checkpoint_dir:
+        from rein48_tpu.utils.checkpoint import Checkpointer
+
+        ckpt = Checkpointer(args.checkpoint_dir)
+        saved = ckpt.load_config() or {}
+
+    def setting(flag_value, key, default):
+        if flag_value is not None:
+            return flag_value
+        return saved.get(key, default)
+
+    model_name = setting(args.model, "model", "resnet")
+    obs_encoding = setting(args.obs_encoding, "obs_encoding", "onehot")
+
     if args.algo == "search":
         kwargs = {}
-        if args.checkpoint_dir:
+        if ckpt is not None:
             # Value-guided planning: the trained critic evaluates leaves.
             from rein48_tpu.models import nets
-            from rein48_tpu.utils.checkpoint import Checkpointer
 
-            ckpt = Checkpointer(args.checkpoint_dir)
             kwargs = {
-                "model": nets.make_model(args.model),
+                "model": nets.make_model(model_name),
                 "params": ckpt.restore_field("params"),
+                "obs_encoding": obs_encoding,
+                "gamma": setting(args.gamma, "gamma", 0.99),
+                "reward_transform": setting(
+                    args.reward_transform, "reward_transform", "log2"
+                ),
             }
             print(f"restored step {ckpt.latest_step()}", file=sys.stderr)
         stats = evaluate_search(
@@ -250,23 +274,20 @@ def _cmd_eval(args: argparse.Namespace) -> int:
     if args.algo == "a3c":
         from rein48_tpu.train.a3c import A3CConfig
 
-        model = A3CConfig(model=args.model).make_model()
+        model = A3CConfig(model=model_name).make_model()
     elif args.algo == "ppo":
         from rein48_tpu.train.ppo import PPOConfig
 
-        model = PPOConfig(model=args.model).make_model()
+        model = PPOConfig(model=model_name).make_model()
     elif args.algo == "dqn":
         from rein48_tpu.train.dqn import DQNConfig
 
-        model = DQNConfig(model=args.model).make_model()
+        model = DQNConfig(model=model_name).make_model()
     else:
         raise SystemExit("eval supports --algo a3c, ppo, or dqn checkpoints")
 
-    if args.checkpoint_dir:
-        from rein48_tpu.utils.checkpoint import Checkpointer
-
+    if ckpt is not None:
         # Params-only restore: eval needs no env batch / replay shapes.
-        ckpt = Checkpointer(args.checkpoint_dir)
         params = ckpt.restore_field("params")
         print(f"restored step {ckpt.latest_step()}", file=sys.stderr)
     else:
@@ -276,12 +297,14 @@ def _cmd_eval(args: argparse.Namespace) -> int:
         from rein48_tpu.train import common
 
         dummy = common.encode_obs(
-            jnp.zeros((1, core.BOARD_SIZE, core.BOARD_SIZE), jnp.uint8), "onehot"
+            jnp.zeros((1, core.BOARD_SIZE, core.BOARD_SIZE), jnp.uint8),
+            obs_encoding,
         )
         params = model.init(jax.random.key(0), dummy)["params"]
     stats = evaluate_policy(
         params,
         model,
+        obs_encoding=obs_encoding,
         num_envs=args.num_envs,
         num_steps=args.max_steps,
         seed=args.seed,
@@ -399,7 +422,14 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument(
         "--algo", choices=("a3c", "ppo", "dqn", "search"), default="a3c"
     )
-    pe.add_argument("--model", default="resnet")
+    # None defaults: fall back to the config persisted with the
+    # checkpoint, then to the trainer default (see _cmd_eval).
+    pe.add_argument("--model", default=None)
+    pe.add_argument(
+        "--obs-encoding", default=None, choices=("onehot", "raw", "log2")
+    )
+    pe.add_argument("--gamma", type=float, default=None)
+    pe.add_argument("--reward-transform", default=None)
     pe.add_argument("--depth", type=int, default=1, help="expectimax depth (--algo search)")
     pe.add_argument("--checkpoint-dir", default=None)
     pe.add_argument("--num-envs", type=int, default=512)

@@ -22,9 +22,9 @@ branching that is exact expectimax, not a sampled approximation.
 Two leaf evaluators: the snake heuristic (classic baseline,
 :func:`expectimax_policy`) or a trained critic's value head
 (:func:`make_expectimax_policy` + :func:`make_value_leaf`) — the latter
-turns the planner into an exact depth-d Bellman backup under the learned
-value function, and the leaf batch is one big dense forward that tiles
-straight onto the MXU.
+backs the learned value function up through the exact depth-d game tree
+(see that function's docstring for the two approximations involved), and
+the leaf batch is one big dense forward that tiles straight onto the MXU.
 """
 
 from __future__ import annotations
@@ -124,30 +124,36 @@ def _afterstates(boards: jax.Array):
     return after, reward, changed
 
 
-def _value_max(boards, depth, leaf_value, reward_fn, gamma) -> jax.Array:
+def _value_max(boards, depth, leaf_value, reward_fn, gamma, death_value) -> jax.Array:
     """Expectimax value of max nodes ``[...]`` at the given search depth."""
-    q, legal = _action_values(boards, depth, leaf_value, reward_fn, gamma)
+    q, legal = _action_values(
+        boards, depth, leaf_value, reward_fn, gamma, death_value
+    )
     dead = ~jnp.any(legal, axis=-1)
     best = jnp.max(jnp.where(legal, q, -jnp.inf), axis=-1)
-    return jnp.where(dead, DEATH_VALUE, best)
+    return jnp.where(dead, death_value, best)
 
 
-def _value_chance(after, depth, leaf_value, reward_fn, gamma) -> jax.Array:
+def _value_chance(after, depth, leaf_value, reward_fn, gamma, death_value) -> jax.Array:
     """Expected value of chance nodes (afterstates) ``[...]``."""
     if depth <= 0:
         return leaf_value(after)
     children, probs = _chance_children(after)
-    child_values = _value_max(children, depth - 1, leaf_value, reward_fn, gamma)
+    child_values = _value_max(
+        children, depth - 1, leaf_value, reward_fn, gamma, death_value
+    )
     # Invalid children carry p=0; their (garbage, possibly DEATH) values
     # must not produce 0 * -inf — values here are finite by construction.
     return jnp.sum(probs * child_values, axis=-1)
 
 
-def _action_values(boards, depth, leaf_value, reward_fn, gamma):
+def _action_values(
+    boards, depth, leaf_value, reward_fn, gamma, death_value=DEATH_VALUE
+):
     """Q(board, a) = merge reward + gamma * E[value of afterstate]."""
     after, reward, legal = _afterstates(boards)
     q = reward_fn(reward) + gamma * _value_chance(
-        after, depth, leaf_value, reward_fn, gamma
+        after, depth, leaf_value, reward_fn, gamma, death_value
     )
     return q, legal
 
@@ -181,25 +187,37 @@ def make_expectimax_policy(
     leaf_value=heuristic,
     reward_fn=lambda r: r,
     gamma: float = 1.0,
+    death_value: float = DEATH_VALUE,
 ):
     """Build ``policy(boards) -> int32 actions`` with a custom leaf.
 
     Generalizes :func:`expectimax_policy` into a value-guided planner:
     pass a trained critic as ``leaf_value`` (see
-    :func:`make_value_leaf`) and the search becomes a depth-``depth``
-    exact Bellman backup over the game tree — AlphaZero-style
+    :func:`make_value_leaf`) and the tree search propagates the critic's
+    values through exact max/expectation backups — AlphaZero-style
     planning-with-a-learned-evaluator, where the tree replaces the policy
     head and the critic replaces the hand-crafted snake heuristic. For a
     critic trained on transformed rewards (``train/common.py``), pass the
     matching ``reward_fn`` and ``gamma`` so interior merge rewards are in
     the critic's own units.
 
+    Two deliberate approximations in value-guided mode (the tree itself
+    is exact): (a) leaves are PRE-spawn afterstates while the critic was
+    trained on post-spawn states — one expectation layer is absorbed into
+    the function approximator; (b) ``death_value`` should match the
+    critic's terminal convention — trainers bootstrap V=0 at done
+    (``agents/a3c.py``), so pass ``death_value=0.0`` with a trained
+    critic; the huge ``DEATH_VALUE`` default is only consistent with the
+    unbounded snake heuristic, where it buys explicit death avoidance.
+
     Returns an UNJITTED pure function; callers jit it (it is also safe
     inside ``lax.scan`` bodies, e.g. ``train/evaluate.py``).
     """
 
     def policy(boards: jax.Array) -> jax.Array:
-        q, legal = _action_values(boards, depth, leaf_value, reward_fn, gamma)
+        q, legal = _action_values(
+            boards, depth, leaf_value, reward_fn, gamma, death_value
+        )
         return _argmax_legal(q, legal)
 
     return policy

@@ -262,6 +262,11 @@ def train_a3c(
     from rein48_tpu.parallel import mesh as mesh_lib
 
     state, model, optimizer = init_a3c(config, jax.random.key(seed))
+    if checkpointer is not None:
+        # Persist the config so eval-time consumers (cli.py eval) can
+        # recover gamma/reward_transform/obs_encoding/model instead of
+        # silently assuming defaults.
+        checkpointer.save_config(config)
     if checkpointer is not None and checkpointer.latest_step() is not None:
         state = checkpointer.restore(state)
         print(

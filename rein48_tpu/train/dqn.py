@@ -280,6 +280,11 @@ def train_dqn(
     from rein48_tpu.parallel import mesh as mesh_lib
 
     state, model, optimizer = init_dqn(config, jax.random.key(seed))
+    if checkpointer is not None:
+        # Persist the config so eval-time consumers (cli.py eval) can
+        # recover gamma/reward_transform/obs_encoding/model instead of
+        # silently assuming defaults.
+        checkpointer.save_config(config)
     if checkpointer is not None and checkpointer.latest_step() is not None:
         state = checkpointer.restore(state)
         print(

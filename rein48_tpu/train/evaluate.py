@@ -96,6 +96,55 @@ def evaluate_policy(
     return {k: float(v) for k, v in stats.items()}
 
 
+def _build_search_policy(depth, model, obs_encoding, gamma, reward_transform):
+    """``policy_fn(params, boards) -> actions`` for :func:`evaluate_search`.
+
+    Built once per distinct config and memoized (``_get_search_policy``):
+    ``policy_fn`` is a STATIC jit argument of ``_search_rollout``, so a
+    fresh closure per call would miss the jit cache and recompile the
+    rollout every time — TPU compiles here take minutes.
+    """
+    from rein48_tpu.control import search
+
+    if model is None:
+        def policy_fn(p, boards):
+            return search.expectimax_policy(boards, depth)
+
+        return policy_fn
+
+    def policy_fn(p, boards):
+        leaf = search.make_value_leaf(model, p, obs_encoding)
+        return search.make_expectimax_policy(
+            depth,
+            leaf_value=leaf,
+            reward_fn=lambda r: common.transform_reward(r, reward_transform),
+            gamma=gamma,
+            # Match the critic's terminal convention: trainers bootstrap
+            # V=0 at done, so a dead node is worth 0 in critic units.
+            death_value=0.0,
+        )(boards)
+
+    return policy_fn
+
+
+_cached_search_policy = functools.lru_cache(maxsize=32)(_build_search_policy)
+
+
+def _get_search_policy(depth, model, obs_encoding, gamma, reward_transform):
+    try:
+        # Flax linen modules are frozen dataclasses — hashable, and equal
+        # configs compare equal, so identical (depth, model, encoding,
+        # gamma, transform) tuples reuse one policy object and therefore
+        # one compiled executable.
+        return _cached_search_policy(
+            depth, model, obs_encoding, gamma, reward_transform
+        )
+    except TypeError:  # unhashable custom model: no caching, still works
+        return _build_search_policy(
+            depth, model, obs_encoding, gamma, reward_transform
+        )
+
+
 # ``params`` is a traced argument (None for the heuristic planner) so a
 # trained critic's weights are NOT baked into the executable as device
 # constants (see .claude/skills/verify/SKILL.md on tunnel transfers).
@@ -143,23 +192,9 @@ def evaluate_search(
     ``reward_transform`` must match the critic's training config so
     interior merge rewards are in the critic's units.
     """
-    from rein48_tpu.control import search
-
-    if model is not None:
-        def policy_fn(p, boards):
-            leaf = search.make_value_leaf(model, p, obs_encoding)
-            return search.make_expectimax_policy(
-                depth,
-                leaf_value=leaf,
-                reward_fn=lambda r: common.transform_reward(
-                    r, reward_transform
-                ),
-                gamma=gamma,
-            )(boards)
-    else:
-        def policy_fn(p, boards):
-            return search.expectimax_policy(boards, depth)
-
+    policy_fn = _get_search_policy(
+        depth, model, obs_encoding, gamma, reward_transform
+    )
     state = vector.reset_batch(jax.random.key(seed), num_envs)
     _, stats = _search_rollout(
         params, state, policy_fn=policy_fn, num_steps=num_steps

@@ -61,7 +61,12 @@ class PPOConfig:
     num_minibatches: int = 4
     entropy_beta: float = 0.01
     value_coef: float = 0.5
-    clip_value: bool = True
+    # Value clipping uses its own ABSOLUTE radius (value_clip_eps), not
+    # clip_eps: with log2 rewards and gamma=0.99 returns reach ~1e2, so a
+    # 0.2 radius would zero the critic gradient once V moves 0.2 from its
+    # rollout estimate. Off by default (PPO2 clipping rarely helps).
+    clip_value: bool = False
+    value_clip_eps: float = 10.0
     normalize_advantage: bool = True  # per-minibatch, PPO convention
     optimizer: str = "adam"
     learning_rate: float = 3e-4
@@ -134,6 +139,7 @@ def make_ppo_step(
         entropy_beta=config.entropy_beta,
         value_coef=config.value_coef,
         clip_value=config.clip_value,
+        value_clip_eps=config.value_clip_eps,
     )
     T, B = config.unroll_len, config.batch_size
     M = config.num_minibatches
@@ -308,6 +314,11 @@ def train_ppo(
     from rein48_tpu.parallel import mesh as mesh_lib
 
     state, model, optimizer = init_ppo(config, jax.random.key(seed))
+    if checkpointer is not None:
+        # Persist the config so eval-time consumers (cli.py eval) can
+        # recover gamma/reward_transform/obs_encoding/model instead of
+        # silently assuming defaults.
+        checkpointer.save_config(config)
     if checkpointer is not None and checkpointer.latest_step() is not None:
         state = checkpointer.restore(state)
         print(

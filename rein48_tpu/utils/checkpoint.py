@@ -12,8 +12,11 @@ host RNG.
 
 from __future__ import annotations
 
+import dataclasses
+import enum
+import json
 import os
-from typing import Any, Optional
+from typing import Any, Dict, Optional
 
 import jax
 import orbax.checkpoint as ocp
@@ -79,6 +82,37 @@ class Checkpointer:
             raise FileNotFoundError(f"no checkpoint under {self.directory}")
         restored = self._mngr.restore(step)
         return restored[field]
+
+    @property
+    def _config_path(self) -> str:
+        return os.path.join(self.directory, "train_config.json")
+
+    def save_config(self, config: Any) -> None:
+        """Persist the trainer config as JSON next to the checkpoints.
+
+        Evaluation then reads back the settings that actually trained the
+        checkpoint (gamma, reward transform, obs encoding, model, ...)
+        instead of assuming defaults — a silent-mismatch trap for e.g.
+        the value-guided planner (``cli.py eval --algo search``).
+        """
+        if dataclasses.is_dataclass(config):
+            config = dataclasses.asdict(config)
+
+        def jsonable(v):
+            if isinstance(v, enum.Enum):
+                return v.name
+            return str(v)
+
+        with open(self._config_path, "w") as f:
+            json.dump(config, f, indent=2, sort_keys=True, default=jsonable)
+
+    def load_config(self) -> Optional[Dict[str, Any]]:
+        """The persisted trainer config, or None for older checkpoints."""
+        try:
+            with open(self._config_path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
 
     def close(self) -> None:
         self._mngr.close()

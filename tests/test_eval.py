@@ -89,3 +89,28 @@ def test_restore_field_params_only(tmp_path):
     for e, g in zip(expect, got):
         np.testing.assert_array_equal(np.asarray(e), np.asarray(g))
     ckpt.close()
+
+
+def test_search_policy_is_cached_per_config():
+    """Identical search configs must reuse ONE policy object.
+
+    The policy is a static jit argument of the search rollout; a fresh
+    closure per evaluate_search call would recompile the rollout every
+    time (minutes on TPU). Flax modules are frozen dataclasses, so equal
+    configs hit the lru_cache (regression for ADVICE.md round-1 #1).
+    """
+    from rein48_tpu.train import evaluate
+
+    # Heuristic path: keyed by depth only.
+    p1 = evaluate._get_search_policy(1, None, "onehot", 0.99, "log2")
+    p2 = evaluate._get_search_policy(1, None, "onehot", 0.99, "log2")
+    assert p1 is p2
+    assert evaluate._get_search_policy(2, None, "onehot", 0.99, "log2") is not p1
+
+    # Value-guided path: two equal model instances hash/compare equal.
+    m1 = nets.make_model("mlp")
+    m2 = nets.make_model("mlp")
+    v1 = evaluate._get_search_policy(1, m1, "onehot", 0.99, "log2")
+    v2 = evaluate._get_search_policy(1, m2, "onehot", 0.99, "log2")
+    assert v1 is v2
+    assert evaluate._get_search_policy(1, m1, "onehot", 0.9, "log2") is not v1

@@ -227,3 +227,57 @@ class TestPPOTrainer:
             [r["avg_episode_tile_sum"] for r in history[-2:] if r["episodes"]]
         )
         assert late > early * 1.2, (early, late)
+
+
+class TestValueClipRadius:
+    """value_clip_eps is the ABSOLUTE value-clip radius, separate from
+    clip_eps (regression for ADVICE.md round-1 #4: reusing the 0.2 ratio
+    radius froze the critic once V drifted >0.2 from its rollout value)."""
+
+    def test_wide_radius_never_binds(self):
+        values = jnp.array([5.0, -5.0])
+        behavior_values = jnp.zeros(2)
+        ret = jnp.array([50.0, -50.0])
+        logits = jnp.zeros((2, 4))
+        actions = jnp.zeros(2, jnp.int32)
+        blogp = jax.nn.log_softmax(logits)[:, 0]
+        unclipped = ppo_agent.PPOLossConfig(entropy_beta=0.0, clip_value=False)
+        wide = ppo_agent.PPOLossConfig(
+            entropy_beta=0.0, clip_value=True, value_clip_eps=1e9
+        )
+        _, a_unc = ppo_agent.ppo_loss(
+            logits, values, actions, blogp, behavior_values,
+            jnp.zeros(2), ret, unclipped,
+        )
+        _, a_wide = ppo_agent.ppo_loss(
+            logits, values, actions, blogp, behavior_values,
+            jnp.zeros(2), ret, wide,
+        )
+        assert float(a_wide["critic_loss"]) == float(a_unc["critic_loss"])
+
+    def test_tight_radius_freezes_critic_gradient(self):
+        """The failure mode the fix guards: radius << |V - behavior V|
+        zeroes the critic gradient (pessimistic max picks the clipped,
+        constant branch)."""
+        behavior_values = jnp.zeros(2)
+        ret = jnp.array([100.0, 100.0])
+        logits = jnp.zeros((2, 4))
+        actions = jnp.zeros(2, jnp.int32)
+        blogp = jax.nn.log_softmax(logits)[:, 0]
+        tight = ppo_agent.PPOLossConfig(
+            entropy_beta=0.0, value_coef=1.0, clip_value=True,
+            value_clip_eps=0.2,
+        )
+
+        def critic_only(v):
+            loss, _ = ppo_agent.ppo_loss(
+                logits, v, actions, blogp, behavior_values,
+                jnp.zeros(2), ret, tight,
+            )
+            return loss
+
+        # V moved 5 >> 0.2 from its rollout estimate but still far from
+        # the 100 target: clipped error (|0.2-100|) > unclipped (|5-100|),
+        # so the max selects the constant clipped branch => zero gradient.
+        g = jax.grad(critic_only)(jnp.array([5.0, 5.0]))
+        np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-7)

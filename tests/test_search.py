@@ -182,3 +182,41 @@ class TestValueGuidedSearch:
         )
         assert stats["episodes"] >= 0
         assert np.isfinite(stats["avg_tile_sum"])
+
+
+class TestDeathValue:
+    def test_dead_node_takes_death_value(self):
+        """A board with no legal move is worth exactly death_value."""
+        dead = jnp.asarray(
+            np.array(
+                [[1, 2, 1, 2], [2, 1, 2, 1], [1, 2, 1, 2], [2, 1, 2, 1]],
+                np.uint8,
+            )
+        )
+        for dv in (0.0, search.DEATH_VALUE):
+            v = search._value_max(
+                dead[None], 0, search.heuristic, lambda r: r, 1.0, dv
+            )
+            assert float(v[0]) == float(np.float32(dv))
+
+    def test_value_guided_evaluate_uses_zero_death(self):
+        """evaluate_search's value-guided policy must not mix the huge
+        heuristic DEATH_VALUE into critic-unit backups (ADVICE #3): with
+        a constant-zero critic every Q is just the (transformed) merge
+        reward — finite and small — even when some chance children die."""
+        from rein48_tpu.train import evaluate
+
+        boards = jnp.asarray(
+            np.array(
+                [[[5, 4, 3, 2], [4, 3, 2, 1], [3, 2, 1, 0], [2, 1, 0, 0]]],
+                np.uint8,
+            )
+        )
+        zero_leaf = lambda b: jnp.zeros(b.shape[:-2], jnp.float32)
+        q, legal = search._action_values(
+            boards, 1, zero_leaf, lambda r: jnp.log2(1.0 + r), 0.99,
+            death_value=0.0,
+        )
+        q = np.asarray(jnp.where(legal, q, 0.0))
+        assert np.all(np.isfinite(q))
+        assert np.all(np.abs(q) < 100.0)

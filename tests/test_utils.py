@@ -105,6 +105,29 @@ class TestCheckpointer:
             ckpt.restore({"w": np.zeros(2)})
         ckpt.close()
 
+    def test_config_roundtrip(self, tmp_path):
+        """Trainer config persists as JSON; enums serialize by name."""
+        from rein48_tpu.train.a3c import A3CConfig
+
+        cfg = A3CConfig(
+            gamma=0.9, reward_transform="identity", obs_encoding="raw",
+            model="mlp",
+        )
+        ckpt = Checkpointer(str(tmp_path / "ckpt"))
+        ckpt.save_config(cfg)
+        loaded = ckpt.load_config()
+        assert loaded["gamma"] == 0.9
+        assert loaded["reward_transform"] == "identity"
+        assert loaded["obs_encoding"] == "raw"
+        assert loaded["model"] == "mlp"
+        assert loaded["reward_mode"] == "MERGE_SCORE"
+        ckpt.close()
+
+    def test_load_config_absent_returns_none(self, tmp_path):
+        ckpt = Checkpointer(str(tmp_path / "ckpt"))
+        assert ckpt.load_config() is None
+        ckpt.close()
+
 
 CLI_ENV = dict(
     os.environ,
