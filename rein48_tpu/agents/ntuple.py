@@ -1,0 +1,209 @@
+# Copyright 2026 The rein48-tpu Authors.
+# SPDX-License-Identifier: Apache-2.0
+"""N-tuple network value function — the classic 2048 function approximator.
+
+The reference's learned evaluators are a tiny MLP and CNN
+(``/root/reference/algorithm/a3c/a3c.py:136-169``,
+``ddpg/actor.py:51-85``); neither family masters the game. This module
+adds the approximator that actually does: the n-tuple network of
+Szubert & Jaskowski ("Temporal difference learning of N-tuple networks
+for the game 2048", CIG 2014), later pushed past the 32768 tile by
+Jaskowski ("Mastering 2048 with delayed temporal coherence learning",
+TCIAIG 2017). A board position's value is the sum of a handful of table
+lookups, one per (tuple, board-symmetry) pair, where each tuple reads a
+few cells and indexes a table by their exponents.
+
+TPU-native shape: the whole network is ONE fancy-gather per batch — cell
+selection is a host-side numpy constant ``[num_lookups, tuple_len]``, the
+per-lookup index is an integer dot with base-16 digit weights, and the
+value is a segment-sum of table gathers. Learning is a scatter-add into
+the same tables. No MXU at all: this agent is a pure HBM-bandwidth
+workload (random gathers into ~64M-entry tables), the exact opposite of
+the dense policies in ``models/nets.py`` — between them the framework
+exercises both ends of the hardware.
+
+Tables live in a plain params dict (``{"t0": f32[16^k], ...}``), so
+orbax checkpointing, optax-free TD updates, and mesh sharding all treat
+them like any other pytree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rein48_tpu.engine import core
+
+BASE = core.MAX_EXPONENT + 1  # exponents 0..15 -> base-16 digits
+
+# Yeh's classic 4x6-tuple shapes (flat row-major cell indices): two
+# horizontal 2x3 "snakes" and two 2x3 boxes. With the 8 board symmetries
+# below this covers every cell many times over; it is the standard
+# "4x6-tuple" network that reaches 2048 in >95% of games with plain
+# TD(0) afterstate learning.
+YEH_4X6 = (
+    (0, 1, 2, 3, 4, 5),
+    (4, 5, 6, 7, 8, 9),
+    (0, 1, 2, 4, 5, 6),
+    (4, 5, 6, 8, 9, 10),
+)
+
+# Szubert & Jaskowski's CIG-2014 network, compressed by symmetry: one
+# row 4-tuple (its 8 symmetry images are all rows and columns) and one
+# 2x2 square (images: the four corner squares, twice). 2 tables of 65536
+# — small enough for CPU training, strong enough to reach 1024/2048.
+SJ_2X4 = (
+    (0, 1, 2, 3),
+    (0, 1, 4, 5),
+)
+
+# Small shapes for CPU tests: 2 straight 3-tuples (tables of 4096).
+TINY_2X3 = (
+    (0, 1, 2),
+    (0, 4, 8),
+)
+
+
+def _symmetry_maps() -> np.ndarray:
+    """The dihedral group of the board as flat cell permutations.
+
+    Returns ``int32[8, 16]``: ``maps[s, i]`` is the original flat cell
+    that position ``i`` reads under symmetry ``s``.
+    """
+    grid = np.arange(core.NUM_CELLS).reshape(core.BOARD_SIZE, core.BOARD_SIZE)
+    out = []
+    for flip in (False, True):
+        g = np.fliplr(grid) if flip else grid
+        for k in range(4):
+            out.append(np.rot90(g, k).reshape(-1))
+    return np.stack(out).astype(np.int32)
+
+
+@dataclasses.dataclass(frozen=True)
+class NTupleConfig:
+    """Network shape.
+
+    Attributes:
+        tuples: cell-index tuples (flat row-major). All tuples share one
+            length class per entry; lengths may differ between tuples.
+        symmetric: expand each tuple over the 8 board symmetries with
+            SHARED weights (the standard trick: one table serves 8
+            lookups, giving rotation/reflection invariance for free).
+        optimistic_init: initial table value. Positive values make the
+            greedy policy explore (every untried configuration looks
+            good); 0 is the classic default.
+    """
+
+    tuples: Tuple[Tuple[int, ...], ...] = YEH_4X6
+    symmetric: bool = True
+    optimistic_init: float = 0.0
+
+    @property
+    def num_lookups(self) -> int:
+        return len(self.tuples) * (8 if self.symmetric else 1)
+
+
+class NTupleNetwork:
+    """Stateless apply/update functions for one :class:`NTupleConfig`.
+
+    The constructor precomputes the numpy lookup constants (cell
+    selections and digit weights); they embed as HLO literals (see the
+    ``core._ROW_LUT`` note on why constants must stay host-side numpy).
+    """
+
+    def __init__(self, config: NTupleConfig = NTupleConfig()):
+        self.config = config
+        syms = _symmetry_maps() if config.symmetric else _symmetry_maps()[:1]
+        cells, weights, table_of = [], [], []
+        for t_id, cell_idx in enumerate(config.tuples):
+            k = len(cell_idx)
+            w = (BASE ** np.arange(k)).astype(np.int32)
+            for s in syms:
+                cells.append(s[np.asarray(cell_idx, np.int32)])
+                weights.append(w)
+                table_of.append(t_id)
+        # Lookups are grouped per table: lookup l reads cells[l] and
+        # indexes table table_of[l].
+        self._cells = [np.stack([c for c, t in zip(cells, table_of) if t == i])
+                       for i in range(len(config.tuples))]
+        self._weights = [
+            np.stack([w for w, t in zip(weights, table_of) if t == i])
+            for i in range(len(config.tuples))
+        ]
+        self.table_sizes = tuple(
+            int(BASE ** len(t)) for t in config.tuples
+        )
+        self.num_lookups = config.num_lookups
+
+    def init(self) -> Dict[str, jax.Array]:
+        """Zero (or optimistic) tables: ``{"t0": f32[16^k0], ...}``."""
+        return {
+            f"t{i}": jnp.full((n,), self.config.optimistic_init, jnp.float32)
+            for i, n in enumerate(self.table_sizes)
+        }
+
+    def indices(self, boards: jax.Array) -> Tuple[jax.Array, ...]:
+        """Per-table lookup indices for ``uint8[..., 4, 4]`` boards.
+
+        Returns one ``int32[..., L_i]`` array per table, where ``L_i`` is
+        the number of symmetry images of tuple ``i``.
+        """
+        flat = boards.reshape(boards.shape[:-2] + (core.NUM_CELLS,)).astype(
+            jnp.int32
+        )
+        out = []
+        for cells, weights in zip(self._cells, self._weights):
+            # [..., L, K] gather of the tuple's cells, then base-16 dot.
+            digits = flat[..., jnp.asarray(cells)]
+            out.append(jnp.sum(digits * jnp.asarray(weights), axis=-1))
+        return tuple(out)
+
+    def value(self, params: Dict[str, jax.Array], boards: jax.Array) -> jax.Array:
+        """V(board) = sum of all table lookups, ``float32[...]``."""
+        total = None
+        for i, idx in enumerate(self.indices(boards)):
+            v = jnp.sum(params[f"t{i}"][idx], axis=-1)
+            total = v if total is None else total + v
+        return total
+
+    def td_apply(
+        self,
+        params: Dict[str, jax.Array],
+        boards: jax.Array,
+        err: jax.Array,
+        alpha: float,
+    ) -> Dict[str, jax.Array]:
+        """One TD scatter step: every lookup of ``boards`` moves by
+        ``alpha * err / num_lookups``.
+
+        ``err`` is the (already masked) TD error per board, shape =
+        ``boards`` leading dims. Duplicate indices within the batch
+        accumulate (scatter-add semantics), which is exactly tabular TD
+        on a minibatch.
+        """
+        delta = (alpha / self.num_lookups) * err
+        new = dict(params)
+        for i, idx in enumerate(self.indices(boards)):
+            d = jnp.broadcast_to(delta[..., None], idx.shape)
+            new[f"t{i}"] = new[f"t{i}"].at[idx.reshape(-1)].add(
+                d.reshape(-1), mode="drop"
+            )
+        return new
+
+    def make_leaf(self, params):
+        """Expectimax leaf evaluator (``control/search.py``).
+
+        N-tuple values are trained on PRE-spawn afterstates — exactly the
+        planner's leaf domain — so unlike an actor-critic's post-spawn
+        value head (see ``make_expectimax_policy``'s approximation notes)
+        this composition is unit-exact.
+        """
+
+        def leaf(boards: jax.Array) -> jax.Array:
+            return self.value(params, boards)
+
+        return leaf

@@ -141,6 +141,23 @@ def _cmd_train(args: argparse.Namespace) -> int:
             logger=logger,
             checkpointer=ckpt,
         )
+    elif args.algo == "ntuple":
+        from rein48_tpu.train.ntuple import NTupleTrainConfig, train_ntuple
+
+        config = NTupleTrainConfig(
+            batch_size=args.batch_size,
+            steps_per_update=args.unroll,
+            alpha=args.alpha,
+        )
+        _, history = train_ntuple(
+            config,
+            num_updates=args.updates,
+            seed=args.seed,
+            mesh=mesh,
+            log_every=args.log_every,
+            logger=logger,
+            checkpointer=ckpt,
+        )
     elif args.algo == "ddpg":
         from rein48_tpu.train.ddpg import DDPGConfig, train_ddpg
 
@@ -271,6 +288,30 @@ def _cmd_eval(args: argparse.Namespace) -> int:
         )
         print(json.dumps(stats))
         return 0
+    if args.algo == "ntuple":
+        from rein48_tpu.agents.ntuple import NTupleConfig, YEH_4X6
+        from rein48_tpu.train.ntuple import evaluate_ntuple
+
+        if ckpt is None:
+            raise SystemExit("eval --algo ntuple needs --checkpoint-dir")
+        tuples = tuple(
+            tuple(int(c) for c in t) for t in saved.get("tuples", YEH_4X6)
+        )
+        net_config = NTupleConfig(
+            tuples=tuples, symmetric=saved.get("symmetric", True)
+        )
+        params = ckpt.restore_field("params")
+        print(f"restored step {ckpt.latest_step()}", file=sys.stderr)
+        stats = evaluate_ntuple(
+            params,
+            net_config,
+            depth=args.depth,
+            num_envs=args.num_envs,
+            num_steps=args.max_steps,
+            seed=args.seed,
+        )
+        print(json.dumps(stats))
+        return 0
     if args.algo == "a3c":
         from rein48_tpu.train.a3c import A3CConfig
 
@@ -397,13 +438,17 @@ def build_parser() -> argparse.ArgumentParser:
 
     pt = sub.add_parser("train", help="train an agent")
     pt.add_argument(
-        "--algo", choices=("a3c", "ppo", "dqn", "ddpg"), default="a3c"
+        "--algo", choices=("a3c", "ppo", "dqn", "ddpg", "ntuple"), default="a3c"
     )
     pt.add_argument("--model", default="resnet")
     pt.add_argument("--updates", type=int, default=200)
     pt.add_argument("--batch-size", type=int, default=4096)
     pt.add_argument("--unroll", type=int, default=32)
     pt.add_argument("--lr", type=float, default=3e-4)
+    pt.add_argument(
+        "--alpha", type=float, default=0.1,
+        help="TD learning rate (--algo ntuple)",
+    )
     pt.add_argument("--seed", type=int, default=0)
     pt.add_argument("--mesh", action="store_true", help="shard over all devices")
     pt.add_argument("--parity", action="store_true", help="reference-parity regime")
@@ -420,7 +465,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     pe = sub.add_parser("eval", help="evaluate a trained policy or the planner")
     pe.add_argument(
-        "--algo", choices=("a3c", "ppo", "dqn", "search"), default="a3c"
+        "--algo",
+        choices=("a3c", "ppo", "dqn", "search", "ntuple"),
+        default="a3c",
     )
     # None defaults: fall back to the config persisted with the
     # checkpoint, then to the trainer default (see _cmd_eval).
@@ -430,7 +477,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pe.add_argument("--gamma", type=float, default=None)
     pe.add_argument("--reward-transform", default=None)
-    pe.add_argument("--depth", type=int, default=1, help="expectimax depth (--algo search)")
+    pe.add_argument(
+        "--depth", type=int, default=1,
+        help="expectimax depth (--algo search/ntuple; ntuple depth 0 = "
+        "greedy afterstate policy)",
+    )
     pe.add_argument("--checkpoint-dir", default=None)
     pe.add_argument("--num-envs", type=int, default=512)
     pe.add_argument("--max-steps", type=int, default=4096)

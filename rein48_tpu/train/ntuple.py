@@ -1,0 +1,319 @@
+# Copyright 2026 The rein48-tpu Authors.
+# SPDX-License-Identifier: Apache-2.0
+"""Afterstate TD(0) learning for n-tuple networks — the 2048 master.
+
+The algorithm (Szubert & Jaskowski, CIG 2014): act greedily on
+``Q(s, a) = r(a) + V(afterstate(s, a))`` and regress each afterstate's
+value toward the NEXT step's ``r + V(afterstate')`` — temporal-difference
+learning on the deterministic half of the transition, with the spawn
+stochasticity marginalized by experience. No policy network, no
+optimizer, no gradients: learning is a scatter-add.
+
+TPU-native shape: where the classic implementations step one game in C++
+and update tables serially, here B games run in lockstep and every step
+does ONE batched table gather (for all 4 afterstates of all B boards)
+and ONE batched scatter-add (the TD updates of 2B afterstates — each
+step carries the regular backup for the previous afterstate and the
+terminal backup for boards whose spawn just killed them). A whole
+``steps_per_update`` segment runs as one ``lax.scan`` — tables are the
+scan carry and XLA updates them in place.
+
+This trainer exists because the north star demands a policy that reaches
+the 2048 tile; the actor-critic families (``train/a3c.py``,
+``train/ppo.py``) get there occasionally, the n-tuple learner reliably
+(and with a shallow expectimax on top — ``evaluate_ntuple(depth>=1)`` —
+far beyond).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from rein48_tpu.agents import ntuple as ntuple_lib
+from rein48_tpu.engine import core, vector
+
+
+@dataclasses.dataclass(frozen=True)
+class NTupleTrainConfig:
+    """Trainer hyperparameters.
+
+    alpha is the TOTAL learning rate per TD backup, split evenly over the
+    network's lookups (``agents/ntuple.py td_apply``); 0.1 over 32
+    lookups reproduces the classic per-weight 0.0025-0.003 range.
+    """
+
+    batch_size: int = 1024
+    steps_per_update: int = 64
+    tuples: Tuple[Tuple[int, ...], ...] = ntuple_lib.YEH_4X6
+    symmetric: bool = True
+    alpha: float = 0.1
+    optimistic_init: float = 0.0
+
+    def network_config(self) -> ntuple_lib.NTupleConfig:
+        return ntuple_lib.NTupleConfig(
+            tuples=tuple(tuple(int(c) for c in t) for t in self.tuples),
+            symmetric=self.symmetric,
+            optimistic_init=self.optimistic_init,
+        )
+
+
+@functools.lru_cache(maxsize=8)
+def get_network(config: ntuple_lib.NTupleConfig) -> ntuple_lib.NTupleNetwork:
+    """One network instance per config, so jit caches keyed on it hit."""
+    return ntuple_lib.NTupleNetwork(config)
+
+
+@struct.dataclass
+class NTupleTrainState:
+    params: Dict[str, jax.Array]
+    env: core.EnvState  # [B]
+    prev_after: jax.Array  # uint8[B, 4, 4] — afterstate awaiting its backup
+    prev_valid: jax.Array  # float32[B] — 0 right after an episode start
+    update_step: jax.Array
+
+
+def _all_afterstates(boards: jax.Array):
+    """Afterstates/rewards/legal of all 4 actions: ``[B, 4, ...]``."""
+    actions = jnp.broadcast_to(
+        jnp.arange(core.NUM_ACTIONS, dtype=jnp.int32),
+        boards.shape[:-2] + (core.NUM_ACTIONS,),
+    )
+    tiled = jnp.broadcast_to(
+        boards[..., None, :, :],
+        boards.shape[:-2] + (core.NUM_ACTIONS,) + boards.shape[-2:],
+    )
+    return core.move_boards(tiled, actions)
+
+
+def init_ntuple(
+    config: NTupleTrainConfig, key: jax.Array
+) -> Tuple[NTupleTrainState, ntuple_lib.NTupleNetwork]:
+    net = get_network(config.network_config())
+    B = config.batch_size
+    env = vector.reset_batch(key, B)
+    return (
+        NTupleTrainState(
+            params=net.init(),
+            env=env,
+            prev_after=jnp.zeros((B, core.BOARD_SIZE, core.BOARD_SIZE), jnp.uint8),
+            prev_valid=jnp.zeros((B,), jnp.float32),
+            update_step=jnp.asarray(0, jnp.int32),
+        ),
+        net,
+    )
+
+
+def make_ntuple_step(config: NTupleTrainConfig):
+    """Build the fused update: ``steps_per_update`` TD steps in one scan.
+
+    Returns an UNJITTED pure function ``state -> (state, metrics)``.
+    """
+    net = get_network(config.network_config())
+    alpha = config.alpha
+
+    def body(carry, _):
+        params, env, prev_after, prev_valid = carry
+        after, reward, legal = _all_afterstates(env.boards)
+        v_after = net.value(params, after)  # [B, 4]
+        q = jnp.where(legal, reward + v_after, -jnp.inf)
+        # Autoreset guarantees live states, so some action is legal.
+        action = jnp.argmax(q, axis=-1).astype(jnp.int32)
+        take = lambda x: jnp.take_along_axis(x, action[:, None], axis=1)[:, 0]
+        r_chosen = take(reward)
+        v_chosen = take(v_after)
+        chosen_after = jnp.take_along_axis(
+            after, action[:, None, None, None], axis=1
+        )[:, 0]
+
+        # Backup 1: V(prev_after) <- r_t + V(after_t), with the values
+        # read BEFORE this step's writes (classic TD uses old estimates).
+        target = r_chosen + v_chosen
+        err_prev = (target - net.value(params, prev_after)) * prev_valid
+
+        env2, out = vector.step_autoreset(env, action)
+
+        # Backup 2: spawn killed the board => V(after_t) <- 0 now (there
+        # is no next step for this episode to deliver the backup).
+        done = out.done.astype(jnp.float32)
+        err_term = (0.0 - v_chosen) * done
+
+        params = net.td_apply(
+            params,
+            jnp.concatenate([prev_after, chosen_after], axis=0),
+            jnp.concatenate([err_prev, err_term], axis=0),
+            alpha,
+        )
+
+        metrics = {
+            "episodes": jnp.sum(done),
+            "episode_score_sum": jnp.sum(out.episode_score),
+            "episode_tile_sum_sum": jnp.sum(out.episode_tile_sum),
+            "episode_length_sum": jnp.sum(out.episode_length.astype(jnp.float32)),
+            "best_tile": jnp.max(out.max_tile),
+            "td_abs_err": jnp.sum(jnp.abs(err_prev)),
+            "td_updates": jnp.sum(prev_valid),
+        }
+        return (params, env2, chosen_after, 1.0 - done), metrics
+
+    def step_fn(state: NTupleTrainState):
+        (params, env, prev_after, prev_valid), ms = jax.lax.scan(
+            body,
+            (state.params, state.env, state.prev_after, state.prev_valid),
+            None,
+            length=config.steps_per_update,
+        )
+        metrics = {
+            "episodes": jnp.sum(ms["episodes"]),
+            "episode_score_sum": jnp.sum(ms["episode_score_sum"]),
+            "episode_tile_sum_sum": jnp.sum(ms["episode_tile_sum_sum"]),
+            "episode_length_sum": jnp.sum(ms["episode_length_sum"]),
+            "best_tile": jnp.max(ms["best_tile"]),
+            "td_abs_err": jnp.sum(ms["td_abs_err"])
+            / jnp.maximum(jnp.sum(ms["td_updates"]), 1.0),
+            "env_steps": jnp.asarray(
+                config.steps_per_update * config.batch_size, jnp.float32
+            ),
+        }
+        return (
+            NTupleTrainState(
+                params=params,
+                env=env,
+                prev_after=prev_after,
+                prev_valid=prev_valid,
+                update_step=state.update_step + 1,
+            ),
+            metrics,
+        )
+
+    return step_fn
+
+
+def train_ntuple(
+    config: NTupleTrainConfig,
+    num_updates: int,
+    seed: int = 0,
+    mesh=None,
+    log_every: int = 10,
+    logger=None,
+    checkpointer=None,
+) -> Tuple[NTupleTrainState, list]:
+    """Host driver; same contract as ``train_a3c``.
+
+    Under a mesh the env batch shards over "dp" and the tables stay
+    replicated; XLA then reduces the per-device scatter deltas each step.
+    That per-step collective makes mesh training bandwidth-heavy — it is
+    supported (and tested on the CPU mesh) but a single chip already
+    trains this network fast.
+    """
+    from rein48_tpu.parallel import mesh as mesh_lib
+
+    state, _ = init_ntuple(config, jax.random.key(seed))
+    if checkpointer is not None:
+        checkpointer.save_config(config)
+    if checkpointer is not None and checkpointer.latest_step() is not None:
+        state = checkpointer.restore(state)
+        print(
+            f"resumed from checkpoint step {int(state.update_step)}",
+            flush=True,
+        )
+    step_fn = make_ntuple_step(config)
+
+    if mesh is not None:
+        state = dataclasses.replace(
+            state,
+            env=mesh_lib.shard_env_state(state.env, mesh),
+            prev_after=jax.device_put(
+                state.prev_after, mesh_lib.batch_sharding(mesh)
+            ),
+            prev_valid=jax.device_put(
+                state.prev_valid, mesh_lib.batch_sharding(mesh)
+            ),
+            params=jax.device_put(
+                state.params, mesh_lib.replicated_sharding(mesh)
+            ),
+        )
+    step = jax.jit(step_fn, donate_argnums=(0,))
+
+    history = []
+    base = int(state.update_step)
+    t0 = time.perf_counter()
+    for i in range(num_updates):
+        state, metrics = step(state)
+        if (i + 1) % log_every == 0 or i + 1 == num_updates:
+            m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            dt = time.perf_counter() - t0
+            eps = max(m["episodes"], 1.0)
+            record = {
+                "update": base + i + 1,
+                "episodes": m["episodes"],
+                "avg_episode_score": m["episode_score_sum"] / eps,
+                "avg_episode_tile_sum": m["episode_tile_sum_sum"] / eps,
+                "avg_episode_length": m["episode_length_sum"] / eps,
+                "best_tile": m["best_tile"],
+                "td_abs_err": m["td_abs_err"],
+                "steps_per_sec": (i + 1)
+                * config.batch_size
+                * config.steps_per_update
+                / dt,
+            }
+            history.append(record)
+            if logger is not None:
+                logger.write(record)
+            if checkpointer is not None:
+                checkpointer.maybe_save(base + i + 1, state)
+    return state, history
+
+
+@functools.lru_cache(maxsize=16)
+def _get_ntuple_policy(net_config: ntuple_lib.NTupleConfig, depth: int):
+    """Cached ``policy_fn(params, boards)`` for the eval rollout.
+
+    depth=0 is the training policy itself (greedy ``r + V(afterstate)``);
+    depth>=1 wraps the same value function in the exact expectimax tree
+    of ``control/search.py``. N-tuple leaves ARE afterstate values, so
+    the planner composition is unit-exact (no pre/post-spawn mismatch).
+    """
+    from rein48_tpu.control import search
+
+    net = get_network(net_config)
+
+    def policy_fn(params, boards):
+        return search.make_expectimax_policy(
+            depth,
+            leaf_value=net.make_leaf(params),
+            reward_fn=lambda r: r,
+            gamma=1.0,
+            death_value=0.0,
+        )(boards)
+
+    return policy_fn
+
+
+def evaluate_ntuple(
+    params: Dict[str, jax.Array],
+    config: NTupleTrainConfig | ntuple_lib.NTupleConfig,
+    *,
+    depth: int = 0,
+    num_envs: int = 512,
+    num_steps: int = 4096,
+    seed: int = 0,
+) -> Dict[str, float]:
+    """Greedy (or expectimax-boosted) evaluation sweep; same statistics
+    as ``train.evaluate.evaluate_policy``."""
+    from rein48_tpu.train import evaluate
+
+    if isinstance(config, NTupleTrainConfig):
+        config = config.network_config()
+    policy_fn = _get_ntuple_policy(config, depth)
+    state = vector.reset_batch(jax.random.key(seed), num_envs)
+    _, stats = evaluate._search_rollout(
+        params, state, policy_fn=policy_fn, num_steps=num_steps
+    )
+    return {k: float(v) for k, v in stats.items()}

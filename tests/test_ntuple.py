@@ -1,0 +1,227 @@
+# Copyright 2026 The rein48-tpu Authors.
+# SPDX-License-Identifier: Apache-2.0
+"""N-tuple network and afterstate-TD trainer tests (CPU, small tables).
+
+The reference has no n-tuple learner (its approximators are the A3C MLP
+and DDPG CNN); this agent is the framework's capability workhorse, so
+the math is pinned here: symmetry invariance of the value, exact tabular
+TD semantics of the scatter update, and learning progress of the full
+loop.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rein48_tpu.agents import ntuple as ntuple_lib
+from rein48_tpu.agents.ntuple import NTupleConfig, NTupleNetwork, TINY_2X3, SJ_2X4
+from rein48_tpu.engine import core
+from rein48_tpu.train.ntuple import (
+    NTupleTrainConfig,
+    evaluate_ntuple,
+    init_ntuple,
+    make_ntuple_step,
+    train_ntuple,
+)
+
+
+def _random_boards(key, n):
+    k1, k2 = jax.random.split(key)
+    exps = jax.random.randint(k1, (n, 4, 4), 1, 12).astype(jnp.uint8)
+    keep = jax.random.bernoulli(k2, 0.5, (n, 4, 4))
+    return jnp.where(keep, exps, 0).astype(jnp.uint8)
+
+
+class TestNetwork:
+    def test_table_sizes(self):
+        net = NTupleNetwork(NTupleConfig(tuples=TINY_2X3))
+        assert net.table_sizes == (16**3, 16**3)
+        assert net.num_lookups == 2 * 8
+
+    def test_indices_in_range_and_deterministic(self):
+        net = NTupleNetwork(NTupleConfig(tuples=SJ_2X4))
+        boards = _random_boards(jax.random.key(0), 64)
+        idx = net.indices(boards)
+        for i, table_idx in enumerate(idx):
+            assert table_idx.shape == (64, 8)
+            assert int(table_idx.min()) >= 0
+            assert int(table_idx.max()) < net.table_sizes[i]
+        idx2 = net.indices(boards)
+        for a, b in zip(idx, idx2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_value_is_symmetry_invariant(self):
+        """Shared tables over the 8 symmetry images make V invariant to
+        board rotation/reflection — the whole point of the expansion."""
+        net = NTupleNetwork(NTupleConfig(tuples=TINY_2X3))
+        params = jax.tree.map(
+            lambda t: jax.random.normal(jax.random.key(1), t.shape),
+            net.init(),
+        )
+        boards = _random_boards(jax.random.key(2), 16)
+        v = np.asarray(net.value(params, boards))
+        b = np.asarray(boards)
+        for op in (
+            lambda x: np.rot90(x, 1, axes=(-2, -1)),
+            lambda x: np.rot90(x, 2, axes=(-2, -1)),
+            lambda x: x[..., ::-1],
+            lambda x: np.swapaxes(x, -1, -2),
+        ):
+            tb = jnp.asarray(np.ascontiguousarray(op(b)))
+            np.testing.assert_allclose(
+                np.asarray(net.value(params, tb)), v, rtol=1e-5
+            )
+
+    def test_asymmetric_network_has_one_lookup_per_tuple(self):
+        net = NTupleNetwork(NTupleConfig(tuples=TINY_2X3, symmetric=False))
+        assert net.num_lookups == 2
+        boards = _random_boards(jax.random.key(3), 4)
+        for table_idx in net.indices(boards):
+            assert table_idx.shape == (4, 1)
+
+    def test_td_apply_exact_tabular_semantics(self):
+        """One update moves V(board) by exactly
+        alpha*err/L * sum_entries(count^2) — with all-distinct lookups
+        that is alpha*err; duplicated entries contribute quadratically
+        (hit `count` times by the scatter AND read `count` times by the
+        value)."""
+        net = NTupleNetwork(NTupleConfig(tuples=TINY_2X3))
+        params = net.init()
+        board = jnp.asarray(
+            np.arange(1, 17, dtype=np.uint8).reshape(1, 4, 4) % 12
+        )
+        sq_counts = 0.0
+        for table_idx in net.indices(board):
+            _, counts = np.unique(np.asarray(table_idx), return_counts=True)
+            sq_counts += float(np.sum(counts.astype(np.float64) ** 2))
+        err, alpha = 2.0, 0.5
+        new = net.td_apply(params, board, jnp.asarray([err]), alpha=alpha)
+        v = float(net.value(new, board)[0])
+        expect = alpha * err / net.num_lookups * sq_counts
+        assert np.isclose(v, expect), (v, expect)
+
+    def test_td_apply_accumulates_duplicate_indices(self):
+        """Two identical boards in one batch double the per-entry delta
+        (scatter-ADD, the tabular minibatch semantics)."""
+        net = NTupleNetwork(NTupleConfig(tuples=TINY_2X3))
+        params = net.init()
+        board = _random_boards(jax.random.key(4), 1)
+        pair = jnp.concatenate([board, board], axis=0)
+        one = net.td_apply(params, board, jnp.asarray([1.0]), alpha=0.1)
+        two = net.td_apply(params, pair, jnp.asarray([1.0, 1.0]), alpha=0.1)
+        v1 = float(net.value(one, board)[0])
+        v2 = float(net.value(two, board)[0])
+        assert np.isclose(v2, 2 * v1)
+
+
+class TestTrainer:
+    def test_step_shapes_and_counters(self):
+        cfg = NTupleTrainConfig(
+            batch_size=8, steps_per_update=4, tuples=TINY_2X3
+        )
+        state, _ = init_ntuple(cfg, jax.random.key(0))
+        step = jax.jit(make_ntuple_step(cfg))
+        state2, metrics = step(state)
+        assert int(state2.update_step) == 1
+        assert float(metrics["env_steps"]) == 8 * 4
+        assert np.isfinite(float(metrics["td_abs_err"]))
+        # Tables actually moved.
+        delta = sum(
+            float(jnp.sum(jnp.abs(a - b)))
+            for a, b in zip(
+                jax.tree.leaves(state.params), jax.tree.leaves(state2.params)
+            )
+        )
+        assert delta > 0
+
+    def test_greedy_actions_always_change_board(self):
+        """The argmax over legal Q never picks a no-op move, so every
+        step progresses (the reference could spin forever on no-ops,
+        GameClient.py:48-49)."""
+        cfg = NTupleTrainConfig(
+            batch_size=16, steps_per_update=8, tuples=TINY_2X3
+        )
+        state, _ = init_ntuple(cfg, jax.random.key(1))
+        step = jax.jit(make_ntuple_step(cfg))
+        for _ in range(4):
+            prev_steps = np.asarray(state.env.steps).copy()
+            prev_boards = np.asarray(state.env.boards).copy()
+            state, m = step(state)
+        # steps grew (or reset at episode ends) — boards must differ.
+        assert not np.array_equal(np.asarray(state.env.boards), prev_boards)
+
+    def test_learning_improves_play(self):
+        """A few thousand games of TD on the small S&J net must clearly
+        beat the untrained (all-zero tables => greedy-reward) policy."""
+        cfg = NTupleTrainConfig(
+            batch_size=128, steps_per_update=64, tuples=SJ_2X4, alpha=0.25
+        )
+        state, _ = init_ntuple(cfg, jax.random.key(2))
+        base = evaluate_ntuple(
+            state.params, cfg, num_envs=64, num_steps=400, seed=9
+        )
+        step = jax.jit(make_ntuple_step(cfg), donate_argnums=(0,))
+        for _ in range(120):
+            state, m = step(state)
+        trained = evaluate_ntuple(
+            state.params, cfg, num_envs=64, num_steps=400, seed=9
+        )
+        assert trained["avg_score"] > base["avg_score"] * 1.4, (
+            base["avg_score"],
+            trained["avg_score"],
+        )
+
+    def test_train_driver_history_and_checkpoint(self, tmp_path):
+        from rein48_tpu.utils.checkpoint import Checkpointer
+
+        cfg = NTupleTrainConfig(
+            batch_size=16, steps_per_update=8, tuples=TINY_2X3
+        )
+        ckpt = Checkpointer(str(tmp_path / "ckpt"), save_every=2)
+        state, hist = train_ntuple(
+            cfg, num_updates=4, log_every=2, checkpointer=ckpt
+        )
+        assert len(hist) == 2
+        assert ckpt.latest_step() == 4
+        saved = ckpt.load_config()
+        assert tuple(tuple(t) for t in saved["tuples"]) == TINY_2X3
+        # Resume restores the full state (tables + env + TD carry).
+        state2, _ = train_ntuple(
+            cfg, num_updates=0 + 1, log_every=1, checkpointer=ckpt
+        )
+        assert int(state2.update_step) == 5
+        ckpt.close()
+
+    def test_mesh_training_compiles_and_runs(self):
+        """dp-sharded envs + replicated tables on the 8-device CPU mesh."""
+        from rein48_tpu.parallel import mesh as mesh_lib
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs the multi-device CPU fixture")
+        mesh = mesh_lib.make_mesh()
+        cfg = NTupleTrainConfig(
+            batch_size=16, steps_per_update=4, tuples=TINY_2X3
+        )
+        state, hist = train_ntuple(cfg, num_updates=2, mesh=mesh, log_every=1)
+        assert np.isfinite(hist[-1]["td_abs_err"])
+
+
+class TestPlannerComposition:
+    def test_depth1_at_least_matches_greedy_on_average(self):
+        """Expectimax over the learned V should not hurt (smoke-level:
+        same eval protocol, depth 1 vs 0 after brief training)."""
+        cfg = NTupleTrainConfig(
+            batch_size=64, steps_per_update=32, tuples=TINY_2X3, alpha=0.25
+        )
+        state, _ = init_ntuple(cfg, jax.random.key(5))
+        step = jax.jit(make_ntuple_step(cfg), donate_argnums=(0,))
+        for _ in range(10):
+            state, _ = step(state)
+        g = evaluate_ntuple(
+            state.params, cfg, depth=0, num_envs=32, num_steps=250, seed=3
+        )
+        p = evaluate_ntuple(
+            state.params, cfg, depth=1, num_envs=32, num_steps=250, seed=3
+        )
+        assert p["avg_score"] > 0.7 * g["avg_score"], (g, p)
