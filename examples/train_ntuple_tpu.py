@@ -1,0 +1,62 @@
+# Copyright 2026 The rein48-tpu Authors.
+# SPDX-License-Identifier: Apache-2.0
+"""Capability run: full 4x6-tuple afterstate-TD network on one TPU chip.
+
+Usage:  python examples/train_ntuple_tpu.py [num_updates] [batch_size]
+
+Equivalent CLI:
+    python -m rein48_tpu train --algo ntuple \
+        --batch-size 4096 --unroll 128 --updates 2000 \
+        --log-dir runs/ntuple_tpu --checkpoint-dir ckpt/ntuple_tpu
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import faulthandler
+
+faulthandler.enable()
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+from rein48_tpu.train.ntuple import (
+    NTupleTrainConfig,
+    evaluate_ntuple,
+    train_ntuple,
+)
+from rein48_tpu.utils.checkpoint import Checkpointer
+from rein48_tpu.utils.metrics import MetricLogger
+
+NUM_UPDATES = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
+
+config = NTupleTrainConfig(
+    batch_size=BATCH, steps_per_update=128, alpha=0.1
+)
+
+logger = MetricLogger(log_dir="runs/ntuple_tpu")
+ckpt = Checkpointer("ckpt/ntuple_tpu", save_every=500, max_to_keep=2)
+state, history = train_ntuple(
+    config,
+    num_updates=NUM_UPDATES,
+    seed=0,
+    log_every=20,
+    logger=logger,
+    checkpointer=ckpt,
+)
+ckpt.save(int(state.update_step), state)
+
+stats = evaluate_ntuple(
+    state.params, config, depth=0, num_envs=1024, num_steps=16384, seed=123
+)
+print("EVAL depth0:", stats, flush=True)
+stats1 = evaluate_ntuple(
+    state.params, config, depth=1, num_envs=512, num_steps=16384, seed=321
+)
+print("EVAL depth1:", stats1, flush=True)
+logger.close()

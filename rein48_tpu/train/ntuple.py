@@ -55,6 +55,10 @@ class NTupleTrainConfig:
     symmetric: bool = True
     alpha: float = 0.1
     optimistic_init: float = 0.0
+    # Collision handling for parallel TD writes — "mean" keeps the
+    # per-entry step bounded at any batch size (see agents/ntuple.py
+    # td_apply); "sum" is exact small-batch tabular TD.
+    collision: str = "mean"
 
     def network_config(self) -> ntuple_lib.NTupleConfig:
         return ntuple_lib.NTupleConfig(
@@ -149,6 +153,7 @@ def make_ntuple_step(config: NTupleTrainConfig):
             jnp.concatenate([prev_after, chosen_after], axis=0),
             jnp.concatenate([err_prev, err_term], axis=0),
             alpha,
+            collision=config.collision,
         )
 
         metrics = {

@@ -80,8 +80,8 @@ class TestNetwork:
         for table_idx in net.indices(boards):
             assert table_idx.shape == (4, 1)
 
-    def test_td_apply_exact_tabular_semantics(self):
-        """One update moves V(board) by exactly
+    def test_td_apply_sum_exact_tabular_semantics(self):
+        """collision="sum": one update moves V(board) by exactly
         alpha*err/L * sum_entries(count^2) — with all-distinct lookups
         that is alpha*err; duplicated entries contribute quadratically
         (hit `count` times by the scatter AND read `count` times by the
@@ -96,23 +96,63 @@ class TestNetwork:
             _, counts = np.unique(np.asarray(table_idx), return_counts=True)
             sq_counts += float(np.sum(counts.astype(np.float64) ** 2))
         err, alpha = 2.0, 0.5
-        new = net.td_apply(params, board, jnp.asarray([err]), alpha=alpha)
+        new = net.td_apply(
+            params, board, jnp.asarray([err]), alpha=alpha, collision="sum"
+        )
         v = float(net.value(new, board)[0])
         expect = alpha * err / net.num_lookups * sq_counts
         assert np.isclose(v, expect), (v, expect)
 
-    def test_td_apply_accumulates_duplicate_indices(self):
-        """Two identical boards in one batch double the per-entry delta
-        (scatter-ADD, the tabular minibatch semantics)."""
+    def test_td_apply_mean_moves_value_by_exactly_alpha_err(self):
+        """collision="mean": a single board's update moves V(board) by
+        exactly alpha*err — per-entry averaging cancels the quadratic
+        collision artifact of the summing update."""
+        net = NTupleNetwork(NTupleConfig(tuples=TINY_2X3))
+        params = net.init()
+        board = jnp.asarray(
+            np.arange(1, 17, dtype=np.uint8).reshape(1, 4, 4) % 12
+        )
+        err, alpha = 2.0, 0.5
+        new = net.td_apply(params, board, jnp.asarray([err]), alpha=alpha)
+        v = float(net.value(new, board)[0])
+        assert np.isclose(v, alpha * err), v
+
+    def test_td_apply_sum_accumulates_duplicates_mean_does_not(self):
+        """A batch of identical boards: "sum" scales the per-entry delta
+        with the batch (the large-batch divergence mechanism), "mean"
+        keeps it constant — THE stability property for lockstep TD."""
         net = NTupleNetwork(NTupleConfig(tuples=TINY_2X3))
         params = net.init()
         board = _random_boards(jax.random.key(4), 1)
+        many = jnp.concatenate([board] * 64, axis=0)
+        errs = jnp.ones((64,))
+        summed = net.td_apply(params, many, errs, alpha=0.1, collision="sum")
+        meaned = net.td_apply(params, many, errs, alpha=0.1, collision="mean")
+        single = net.td_apply(
+            params, board, jnp.asarray([1.0]), alpha=0.1, collision="sum"
+        )
+        v_sum = float(net.value(summed, board)[0])
+        v_mean = float(net.value(meaned, board)[0])
+        v_single = float(net.value(single, board)[0])
+        assert np.isclose(v_sum, 64 * v_single)
+        assert v_mean <= v_single * (1 + 1e-5)
+        assert v_mean > 0
+
+    def test_td_apply_mean_ignores_masked_zero_errors(self):
+        """err=0 rows (masked backups) must not dilute colliding means."""
+        net = NTupleNetwork(NTupleConfig(tuples=TINY_2X3))
+        params = net.init()
+        board = _random_boards(jax.random.key(6), 1)
         pair = jnp.concatenate([board, board], axis=0)
-        one = net.td_apply(params, board, jnp.asarray([1.0]), alpha=0.1)
-        two = net.td_apply(params, pair, jnp.asarray([1.0, 1.0]), alpha=0.1)
-        v1 = float(net.value(one, board)[0])
-        v2 = float(net.value(two, board)[0])
-        assert np.isclose(v2, 2 * v1)
+        with_zero = net.td_apply(
+            params, pair, jnp.asarray([1.0, 0.0]), alpha=0.1
+        )
+        alone = net.td_apply(params, board, jnp.asarray([1.0]), alpha=0.1)
+        np.testing.assert_allclose(
+            float(net.value(with_zero, board)[0]),
+            float(net.value(alone, board)[0]),
+            rtol=1e-6,
+        )
 
 
 class TestTrainer:
