@@ -35,9 +35,7 @@ from rein48_tpu.utils.metrics import MetricLogger
 NUM_UPDATES = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
 BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
 
-config = NTupleTrainConfig(
-    batch_size=BATCH, steps_per_update=128, alpha=0.1
-)
+config = NTupleTrainConfig(batch_size=BATCH, steps_per_update=128)
 
 logger = MetricLogger(log_dir="runs/ntuple_tpu")
 ckpt = Checkpointer("ckpt/ntuple_tpu", save_every=500, max_to_keep=2)

@@ -227,6 +227,71 @@ class NTupleNetwork:
             new[f"t{i}"] = new[f"t{i}"].at[ids].add(d, mode="drop")
         return new
 
+    def init_tc(self) -> Dict[str, jax.Array]:
+        """Tables plus temporal-coherence accumulators.
+
+        For each weight table ``t{i}`` adds ``t{i}_E`` (signed TD-error
+        sum) and ``t{i}_A`` (absolute TD-error sum); the per-entry
+        learning-rate modulation is ``|E|/A`` (1 while untouched) — the
+        TC rule of Beal & Smith, applied to 2048 n-tuple learning by
+        Jaskowski (TCIAIG 2017): entries whose errors keep one sign keep
+        the full rate, entries whose errors oscillate (already converged
+        / inherently noisy) are damped toward 0.
+        """
+        params = self.init()
+        for i in range(len(self.table_sizes)):
+            # Distinct buffers: sharing one zeros array between E and A
+            # breaks donation (same buffer donated twice) in jitted steps.
+            params[f"t{i}_E"] = jnp.zeros_like(params[f"t{i}"])
+            params[f"t{i}_A"] = jnp.zeros_like(params[f"t{i}"])
+        return params
+
+    def td_apply_tc(
+        self,
+        params: Dict[str, jax.Array],
+        boards: jax.Array,
+        err: jax.Array,
+        alpha: float,
+    ) -> Dict[str, jax.Array]:
+        """Temporal-coherence TD step (collision-mean semantics).
+
+        Per touched entry ``e`` with batch-mean error ``d_e``:
+        ``w_e += alpha/L * (|E_e|/A_e) * d_e`` then ``E_e += d_e``,
+        ``A_e += |d_e|`` (modulation 1 while ``A_e == 0``). Masked
+        backups (exact 0 errors) neither move weights nor touch the
+        accumulators.
+        """
+        new = dict(params)
+        scale = alpha / self.num_lookups
+        for i, idx in enumerate(self.indices(boards)):
+            ids = idx.reshape(-1)
+            d = jnp.broadcast_to(err[..., None], idx.shape).reshape(-1)
+            order = jnp.argsort(ids)
+            s_ids = ids[order]
+            s_d = d[order]
+            first = jnp.concatenate(
+                [jnp.ones((1,), bool), s_ids[1:] != s_ids[:-1]]
+            )
+            seg = jnp.cumsum(first) - 1
+            live = (s_d != 0.0).astype(s_d.dtype)
+            counts = jnp.zeros(ids.shape, s_d.dtype).at[seg].add(live)
+            seg_sum = jnp.zeros(ids.shape, s_d.dtype).at[seg].add(s_d)
+            # Per-run mean error, landed once per run (first occurrence).
+            mean_d = (seg_sum / jnp.maximum(counts, 1.0))[seg] * first
+            e_acc = params[f"t{i}_E"][s_ids]
+            a_acc = params[f"t{i}_A"][s_ids]
+            beta = jnp.where(
+                a_acc > 0.0, jnp.abs(e_acc) / jnp.maximum(a_acc, 1e-30), 1.0
+            )
+            new[f"t{i}"] = new[f"t{i}"].at[s_ids].add(
+                scale * beta * mean_d, mode="drop"
+            )
+            new[f"t{i}_E"] = new[f"t{i}_E"].at[s_ids].add(mean_d, mode="drop")
+            new[f"t{i}_A"] = new[f"t{i}_A"].at[s_ids].add(
+                jnp.abs(mean_d), mode="drop"
+            )
+        return new
+
     def make_leaf(self, params):
         """Expectimax leaf evaluator (``control/search.py``).
 

@@ -144,10 +144,11 @@ def _cmd_train(args: argparse.Namespace) -> int:
     elif args.algo == "ntuple":
         from rein48_tpu.train.ntuple import NTupleTrainConfig, train_ntuple
 
+        kwargs = {} if args.alpha is None else {"alpha": args.alpha}
         config = NTupleTrainConfig(
             batch_size=args.batch_size,
             steps_per_update=args.unroll,
-            alpha=args.alpha,
+            **kwargs,
         )
         _, history = train_ntuple(
             config,
@@ -446,8 +447,8 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--unroll", type=int, default=32)
     pt.add_argument("--lr", type=float, default=3e-4)
     pt.add_argument(
-        "--alpha", type=float, default=0.1,
-        help="TD learning rate (--algo ntuple)",
+        "--alpha", type=float, default=None,
+        help="TD learning rate (--algo ntuple; default: trainer default)",
     )
     pt.add_argument("--seed", type=int, default=0)
     pt.add_argument("--mesh", action="store_true", help="shard over all devices")

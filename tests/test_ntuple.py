@@ -265,3 +265,62 @@ class TestPlannerComposition:
             state.params, cfg, depth=1, num_envs=32, num_steps=250, seed=3
         )
         assert p["avg_score"] > 0.7 * g["avg_score"], (g, p)
+
+
+class TestTemporalCoherence:
+    def test_first_update_matches_plain_mean(self):
+        """Untouched entries have modulation 1, so the first TC update
+        moves V(board) exactly like the plain collision-mean update."""
+        net = NTupleNetwork(NTupleConfig(tuples=TINY_2X3))
+        board = _random_boards(jax.random.key(7), 1)
+        err = jnp.asarray([3.0])
+        plain = net.td_apply(net.init(), board, err, alpha=0.5)
+        tc = net.td_apply_tc(net.init_tc(), board, err, alpha=0.5)
+        np.testing.assert_allclose(
+            float(net.value(tc, board)[0]),
+            float(net.value(plain, board)[0]),
+            rtol=1e-6,
+        )
+
+    def test_oscillating_errors_damp_to_zero_rate(self):
+        """+e then -e zeroes the signed accumulator E, so the THIRD
+        update's modulation |E|/A is 0 and weights stop moving."""
+        net = NTupleNetwork(NTupleConfig(tuples=TINY_2X3))
+        board = _random_boards(jax.random.key(8), 1)
+        p = net.init_tc()
+        p = net.td_apply_tc(p, board, jnp.asarray([2.0]), alpha=1.0)
+        p = net.td_apply_tc(p, board, jnp.asarray([-2.0]), alpha=1.0)
+        v_before = float(net.value(p, board)[0])
+        p = net.td_apply_tc(p, board, jnp.asarray([5.0]), alpha=1.0)
+        assert np.isclose(float(net.value(p, board)[0]), v_before, atol=1e-6)
+
+    def test_consistent_errors_keep_full_rate(self):
+        """Same-sign errors keep |E|/A = 1: the second update moves V as
+        much as the first (tabular full-rate learning)."""
+        net = NTupleNetwork(NTupleConfig(tuples=TINY_2X3))
+        board = _random_boards(jax.random.key(9), 1)
+        p = net.init_tc()
+        p = net.td_apply_tc(p, board, jnp.asarray([2.0]), alpha=0.5)
+        v1 = float(net.value(p, board)[0])
+        p = net.td_apply_tc(p, board, jnp.asarray([2.0]), alpha=0.5)
+        v2 = float(net.value(p, board)[0])
+        assert np.isclose(v2 - v1, v1, rtol=1e-5)
+
+    def test_accumulators_ignore_masked_errors(self):
+        """err=0 rows must leave E/A (and weights) untouched."""
+        net = NTupleNetwork(NTupleConfig(tuples=TINY_2X3))
+        board = _random_boards(jax.random.key(10), 1)
+        p = net.td_apply_tc(net.init_tc(), board, jnp.asarray([0.0]), alpha=1.0)
+        for k, v in p.items():
+            assert float(jnp.sum(jnp.abs(v))) == 0.0, k
+
+    def test_tc_trainer_runs_and_learns(self):
+        cfg = NTupleTrainConfig(
+            batch_size=64, steps_per_update=32, tuples=TINY_2X3, tc=True
+        )
+        state, _ = init_ntuple(cfg, jax.random.key(11))
+        assert "t0_E" in state.params
+        step = jax.jit(make_ntuple_step(cfg), donate_argnums=(0,))
+        for _ in range(5):
+            state, m = step(state)
+        assert np.isfinite(float(m["td_abs_err"]))
