@@ -183,9 +183,10 @@ def _cmd_train(args: argparse.Namespace) -> int:
 def _cmd_parity(args: argparse.Namespace) -> int:
     """Fixed-seed trajectory parity check (BASELINE config #1).
 
-    Plays whole games three ways — the ACTUAL reference code (if mounted),
-    the clean-room oracle, and the JAX engine replaying the oracle's spawn
-    decisions — and asserts bit-identical boards at every step.
+    Plays whole games up to four ways — the ACTUAL reference code (if
+    mounted), the clean-room Python oracle, the native C oracle (if a
+    compiler is available), and the JAX engine replaying the oracle's
+    spawn decisions — and asserts bit-identical boards at every step.
     """
     import json
     import random as pyrandom
@@ -193,23 +194,36 @@ def _cmd_parity(args: argparse.Namespace) -> int:
     import jax.numpy as jnp
     import numpy as np
 
+    from rein48_tpu import native
     from rein48_tpu.engine import core, oracle
 
+    use_native = native.available()
     results = []
     for seed in range(args.seeds):
         rng = pyrandom.Random(seed)
         game = oracle.OracleGame(rng=rng)
+        native_game = native.NativeOracleGame(seed) if use_native else None
         spawn_iter = iter(game.spawn_log)
         board = jnp.zeros((4, 4), dtype=jnp.uint8)
         d = next(spawn_iter)
         board = core.place_tile(
             board, jnp.asarray(d.rank), jnp.asarray(d.value_exp), jnp.asarray(True)
         )
+        if native_game is not None and native_game.state_matrix != game.state_matrix:
+            raise SystemExit(f"native oracle reset diverged (seed {seed})")
         steps, done, diverged = 0, False, False
         while not done and steps < args.max_steps:
             action = oracle.random_action(rng)
             prev_spawns = len(game.spawn_log)
             state, _, done = game.step(action)
+            if native_game is not None:
+                # Consume the action draw on the native stream too, then
+                # step; the native board must match the Python oracle's.
+                native_game.random_action()
+                n_state, _, n_done = native_game.step(action)
+                if n_state != state or n_done != done:
+                    diverged = True
+                    break
             nb, _, changed = core.move_boards(
                 board, jnp.asarray(core.ACTION_ALIASES[action])
             )
@@ -232,7 +246,7 @@ def _cmd_parity(args: argparse.Namespace) -> int:
         status = "OK " if not diverged else "FAIL"
         print(f"seed {seed}: {status} {steps} steps", file=sys.stderr)
     ok = all(r["parity"] for r in results)
-    print(json.dumps({"parity": ok, "games": results}))
+    print(json.dumps({"parity": ok, "native_oracle": use_native, "games": results}))
     return 0 if ok else 1
 
 
