@@ -1,0 +1,66 @@
+# Copyright 2026 The rein48-tpu Authors.
+# SPDX-License-Identifier: Apache-2.0
+"""Expectimax capability sweep over a trained n-tuple checkpoint.
+
+Runs the greedy policy (depth 0) and the value-guided expectimax planner
+(depth >= 1) on the latest ``ckpt/ntuple_tpu`` checkpoint and prints the
+attainment stats (frac_2048 ... frac_16384). Kept separate from
+``train_ntuple_tpu.py`` because a depth-d sweep costs ~17^(d) x the
+depth-0 leaf work per env step; the training artifacts should never wait
+on a planner sweep.
+
+Usage:  python examples/eval_ntuple_tpu.py [max_depth] [num_envs] [num_steps]
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import faulthandler
+
+faulthandler.enable()
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+from rein48_tpu.train.ntuple import NTupleTrainConfig, evaluate_ntuple
+from rein48_tpu.utils.checkpoint import Checkpointer
+
+MAX_DEPTH = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+NUM_ENVS = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+NUM_STEPS = int(sys.argv[3]) if len(sys.argv) > 3 else 8192
+
+ckpt = Checkpointer("ckpt/ntuple_tpu")
+saved = ckpt.load_config() or {}
+kwargs = {}
+if "tuples" in saved:  # JSON round-trips the tuple-of-tuples as lists
+    kwargs["tuples"] = tuple(tuple(int(c) for c in t) for t in saved["tuples"])
+for flag in ("symmetric", "tc"):
+    if flag in saved:
+        kwargs[flag] = saved[flag] in (True, "True")
+config = NTupleTrainConfig(**kwargs)
+step = ckpt.latest_step()
+params = ckpt.restore_field("params")
+params = {k: jax.device_put(jax.numpy.asarray(v)) for k, v in params.items()}
+print(f"checkpoint step {step}; tables: {sorted(params)}", flush=True)
+
+results = {}
+for depth in range(MAX_DEPTH + 1):
+    # Deeper trees cost ~17x per level; shrink the sweep to compensate.
+    envs = max(NUM_ENVS // (4**depth), 32)
+    steps = max(NUM_STEPS // (2**depth), 1024)
+    stats = evaluate_ntuple(
+        params, config, depth=depth, num_envs=envs, num_steps=steps,
+        seed=123 + depth,
+    )
+    results[f"depth{depth}"] = stats
+    print(f"EVAL depth{depth} (envs={envs}, steps={steps}):", stats,
+          flush=True)
+
+with open("runs/ntuple_tpu/eval.json", "w") as f:
+    json.dump({"checkpoint_step": step, "results": results}, f, indent=2)
+print("wrote runs/ntuple_tpu/eval.json", flush=True)

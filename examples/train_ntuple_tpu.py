@@ -38,7 +38,7 @@ BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
 config = NTupleTrainConfig(batch_size=BATCH, steps_per_update=128)
 
 logger = MetricLogger(log_dir="runs/ntuple_tpu")
-ckpt = Checkpointer("ckpt/ntuple_tpu", save_every=500, max_to_keep=2)
+ckpt = Checkpointer("ckpt/ntuple_tpu", save_every=100, max_to_keep=2)
 state, history = train_ntuple(
     config,
     num_updates=NUM_UPDATES,
@@ -50,11 +50,10 @@ state, history = train_ntuple(
 ckpt.save(int(state.update_step), state)
 
 stats = evaluate_ntuple(
-    state.params, config, depth=0, num_envs=1024, num_steps=16384, seed=123
+    state.params, config, depth=0, num_envs=1024, num_steps=8192, seed=123
 )
 print("EVAL depth0:", stats, flush=True)
-stats1 = evaluate_ntuple(
-    state.params, config, depth=1, num_envs=512, num_steps=16384, seed=321
-)
-print("EVAL depth1:", stats1, flush=True)
+# depth>=1 expectimax evals cost ~128x the depth-0 leaf work per step; run
+# them separately (see examples/eval_ntuple_tpu.py) once the checkpoint is
+# on disk, so a slow planner sweep never holds the training artifacts.
 logger.close()

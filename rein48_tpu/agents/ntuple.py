@@ -292,6 +292,61 @@ class NTupleNetwork:
             )
         return new
 
+    def td_apply_delayed(
+        self,
+        params: Dict[str, jax.Array],
+        boards: jax.Array,
+        err: jax.Array,
+        alpha: float,
+        tc: bool = True,
+    ) -> Dict[str, jax.Array]:
+        """Windowed ("delayed") TD step — Jaskowski's TCIAIG-2017 recipe.
+
+        Applies a whole window of TD backups at once: ``boards``/``err``
+        hold EVERY backup of the window (flattened ``[N, 4, 4]`` /
+        ``[N]``, masked backups as exact-0 errors), gathered while the
+        tables were frozen. Each touched table entry moves by the MEAN of
+        its nonzero hit errors — the window-granular generalization of
+        ``td_apply(collision="mean")`` — so the per-entry step stays
+        bounded by ``alpha/num_lookups`` regardless of batch size or
+        window length; with ``tc`` the mean error also feeds the
+        temporal-coherence accumulators exactly as in
+        :meth:`td_apply_tc`, once per window.
+
+        TPU shape: instead of the per-step argsort + segment trick (the
+        sort is what bounds :meth:`td_apply` throughput on TPU), this
+        does two scatter-adds per table (error sum + hit count) and one
+        dense elementwise pass over the table — O(table) HBM traffic
+        paid once per window instead of O(N log N) sort work per step.
+        """
+        scale = alpha / self.num_lookups
+        live = (err != 0.0).astype(jnp.float32)
+        new = dict(params)
+        for i, idx in enumerate(self.indices(boards)):
+            ids = idx.reshape(-1)
+            d = jnp.broadcast_to(err[..., None], idx.shape).reshape(-1)
+            lv = jnp.broadcast_to(live[..., None], idx.shape).reshape(-1)
+            n = params[f"t{i}"].shape[0]
+            # Masked backups carry exact-0 errors: they cancel out of the
+            # sum and are excluded from the count.
+            err_sum = jnp.zeros((n,), jnp.float32).at[ids].add(d)
+            hits = jnp.zeros((n,), jnp.float32).at[ids].add(lv)
+            mean_d = err_sum / jnp.maximum(hits, 1.0)
+            if tc:
+                e_acc = params[f"t{i}_E"]
+                a_acc = params[f"t{i}_A"]
+                beta = jnp.where(
+                    a_acc > 0.0,
+                    jnp.abs(e_acc) / jnp.maximum(a_acc, 1e-30),
+                    1.0,
+                )
+                new[f"t{i}"] = params[f"t{i}"] + scale * beta * mean_d
+                new[f"t{i}_E"] = e_acc + mean_d
+                new[f"t{i}_A"] = a_acc + jnp.abs(mean_d)
+            else:
+                new[f"t{i}"] = params[f"t{i}"] + scale * mean_d
+        return new
+
     def make_leaf(self, params):
         """Expectimax leaf evaluator (``control/search.py``).
 

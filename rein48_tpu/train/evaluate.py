@@ -24,6 +24,30 @@ from rein48_tpu.engine import core, vector
 from rein48_tpu.train import common
 
 
+# Max-tile attainment tiers reported by every evaluation sweep. 512-2048
+# bracket the actor-critic families; 4096+ exist for the n-tuple/search
+# policies that play far past the reference's goal tile.
+_TILE_TIERS = (512, 1024, 2048, 4096, 8192, 16384)
+
+
+def _episode_stats(outs) -> Dict[str, jax.Array]:
+    """Aggregate a ``StepOutput[T, B]`` trace into completed-episode stats."""
+    dones = outs.done.astype(jnp.float32)
+    n_eps = jnp.sum(dones)
+    safe = jnp.maximum(n_eps, 1.0)
+    max_tile = outs.max_tile
+    stats = {
+        "episodes": n_eps,
+        "avg_tile_sum": jnp.sum(outs.episode_tile_sum) / safe,
+        "avg_length": jnp.sum(outs.episode_length.astype(jnp.float32)) / safe,
+        "avg_score": jnp.sum(outs.episode_score) / safe,
+        "best_tile": jnp.max(max_tile),
+    }
+    for tier in _TILE_TIERS:
+        stats[f"frac_{tier}"] = jnp.sum(dones * (max_tile >= tier)) / safe
+    return stats
+
+
 @functools.partial(jax.jit, static_argnames=("apply_fn", "obs_encoding", "num_steps", "greedy"))
 def _eval_rollout(params, start_state, key, *, apply_fn, obs_encoding, num_steps, greedy):
     def body(carry, _):
@@ -43,21 +67,7 @@ def _eval_rollout(params, start_state, key, *, apply_fn, obs_encoding, num_steps
     (final, _), outs = jax.lax.scan(
         body, (start_state, key), None, length=num_steps
     )
-    dones = outs.done.astype(jnp.float32)
-    n_eps = jnp.sum(dones)
-    safe = jnp.maximum(n_eps, 1.0)
-    max_tile = outs.max_tile
-    stats = {
-        "episodes": n_eps,
-        "avg_tile_sum": jnp.sum(outs.episode_tile_sum) / safe,
-        "avg_length": jnp.sum(outs.episode_length.astype(jnp.float32)) / safe,
-        "avg_score": jnp.sum(outs.episode_score) / safe,
-        "best_tile": jnp.max(max_tile),
-        "frac_512": jnp.sum(dones * (max_tile >= 512)) / safe,
-        "frac_1024": jnp.sum(dones * (max_tile >= 1024)) / safe,
-        "frac_2048": jnp.sum(dones * (max_tile >= 2048)) / safe,
-    }
-    return final, stats
+    return final, _episode_stats(outs)
 
 
 def evaluate_policy(
@@ -155,21 +165,7 @@ def _search_rollout(params, start_state, *, policy_fn, num_steps):
         return vector.step_autoreset(st, actions)
 
     final, outs = jax.lax.scan(body, start_state, None, length=num_steps)
-    dones = outs.done.astype(jnp.float32)
-    n_eps = jnp.sum(dones)
-    safe = jnp.maximum(n_eps, 1.0)
-    max_tile = outs.max_tile
-    stats = {
-        "episodes": n_eps,
-        "avg_tile_sum": jnp.sum(outs.episode_tile_sum) / safe,
-        "avg_length": jnp.sum(outs.episode_length.astype(jnp.float32)) / safe,
-        "avg_score": jnp.sum(outs.episode_score) / safe,
-        "best_tile": jnp.max(max_tile),
-        "frac_512": jnp.sum(dones * (max_tile >= 512)) / safe,
-        "frac_1024": jnp.sum(dones * (max_tile >= 1024)) / safe,
-        "frac_2048": jnp.sum(dones * (max_tile >= 2048)) / safe,
-    }
-    return final, stats
+    return final, _episode_stats(outs)
 
 
 def evaluate_search(

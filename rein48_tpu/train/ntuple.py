@@ -67,6 +67,15 @@ class NTupleTrainConfig:
     # CPU). tc=False uses the plain constant-alpha rule (then set alpha
     # around 0.1-0.25).
     tc: bool = True
+    # "step": classic TD — tables move after every env step (argsort +
+    # segment-mean scatter per step; the sort bounds TPU throughput).
+    # "delayed": Jaskowski's delayed/windowed TD — tables are FROZEN for
+    # the steps_per_update window, every backup of the window is
+    # accumulated, and each touched entry moves once by the mean of its
+    # window errors (agents/ntuple.py td_apply_delayed). Much faster on
+    # TPU (no sorts, one scatter pair + one dense table pass per window)
+    # and the published recipe trains fine with windows of ~1k games.
+    update_mode: str = "step"
 
     def network_config(self) -> ntuple_lib.NTupleConfig:
         return ntuple_lib.NTupleConfig(
@@ -129,9 +138,16 @@ def make_ntuple_step(config: NTupleTrainConfig):
     """
     net = get_network(config.network_config())
     alpha = config.alpha
+    if config.update_mode not in ("step", "delayed"):
+        raise ValueError(f"unknown update_mode '{config.update_mode}'")
 
-    def body(carry, _):
-        params, env, prev_after, prev_valid = carry
+    def _policy_and_backups(params, env, prev_after, prev_valid):
+        """Greedy afterstate step + the window's two TD backups.
+
+        Shared by both update modes; ``params`` is the value table the
+        policy acts with (the freshly-updated table in "step" mode, the
+        window-frozen table in "delayed" mode).
+        """
         after, reward, legal = _all_afterstates(env.boards)
         v_after = net.value(params, after)  # [B, 4]
         q = jnp.where(legal, reward + v_after, -jnp.inf)
@@ -158,13 +174,6 @@ def make_ntuple_step(config: NTupleTrainConfig):
 
         upd_boards = jnp.concatenate([prev_after, chosen_after], axis=0)
         upd_errs = jnp.concatenate([err_prev, err_term], axis=0)
-        if config.tc:
-            params = net.td_apply_tc(params, upd_boards, upd_errs, alpha)
-        else:
-            params = net.td_apply(
-                params, upd_boards, upd_errs, alpha, collision=config.collision
-            )
-
         metrics = {
             "episodes": jnp.sum(done),
             "episode_score_sum": jnp.sum(out.episode_score),
@@ -174,15 +183,65 @@ def make_ntuple_step(config: NTupleTrainConfig):
             "td_abs_err": jnp.sum(jnp.abs(err_prev)),
             "td_updates": jnp.sum(prev_valid),
         }
+        return env2, chosen_after, done, upd_boards, upd_errs, metrics
+
+    def body(carry, _):
+        params, env, prev_after, prev_valid = carry
+        env2, chosen_after, done, upd_boards, upd_errs, metrics = (
+            _policy_and_backups(params, env, prev_after, prev_valid)
+        )
+        if config.tc:
+            params = net.td_apply_tc(params, upd_boards, upd_errs, alpha)
+        else:
+            params = net.td_apply(
+                params, upd_boards, upd_errs, alpha, collision=config.collision
+            )
         return (params, env2, chosen_after, 1.0 - done), metrics
 
-    def step_fn(state: NTupleTrainState):
+    def _scan_step(state: NTupleTrainState):
+        """"step" mode: tables ride the scan carry, updated every step."""
         (params, env, prev_after, prev_valid), ms = jax.lax.scan(
             body,
             (state.params, state.env, state.prev_after, state.prev_valid),
             None,
             length=config.steps_per_update,
         )
+        return params, env, prev_after, prev_valid, ms
+
+    def _scan_delayed(state: NTupleTrainState):
+        """"delayed" mode: tables frozen across the window; the scan
+        emits every backup and one windowed apply lands them all."""
+        params = state.params
+
+        def body_frozen(carry, _):
+            env, prev_after, prev_valid = carry
+            env2, chosen_after, done, upd_boards, upd_errs, metrics = (
+                _policy_and_backups(params, env, prev_after, prev_valid)
+            )
+            return (env2, chosen_after, 1.0 - done), (
+                upd_boards,
+                upd_errs,
+                metrics,
+            )
+
+        (env, prev_after, prev_valid), (boards, errs, ms) = jax.lax.scan(
+            body_frozen,
+            (state.env, state.prev_after, state.prev_valid),
+            None,
+            length=config.steps_per_update,
+        )
+        new_params = net.td_apply_delayed(
+            params,
+            boards.reshape((-1,) + boards.shape[2:]),
+            errs.reshape(-1),
+            alpha,
+            tc=config.tc,
+        )
+        return new_params, env, prev_after, prev_valid, ms
+
+    def step_fn(state: NTupleTrainState):
+        scan = _scan_step if config.update_mode == "step" else _scan_delayed
+        params, env, prev_after, prev_valid, ms = scan(state)
         metrics = {
             "episodes": jnp.sum(ms["episodes"]),
             "episode_score_sum": jnp.sum(ms["episode_score_sum"]),

@@ -267,6 +267,113 @@ class TestPlannerComposition:
         assert p["avg_score"] > 0.7 * g["avg_score"], (g, p)
 
 
+class TestDelayedUpdate:
+    """Windowed ("delayed") TD — agents/ntuple.py td_apply_delayed and the
+    update_mode="delayed" trainer path (Jaskowski's TCIAIG-2017 scheme,
+    the TPU-fast variant: no per-step sorts)."""
+
+    def test_single_window_matches_plain_mean(self):
+        """One window of distinct boards: the dense S/C mean must equal
+        the sort-based collision-mean update exactly."""
+        net = NTupleNetwork(NTupleConfig(tuples=TINY_2X3))
+        boards = _random_boards(jax.random.key(20), 8)
+        errs = jnp.linspace(-2.0, 2.0, 8)
+        a = net.td_apply(net.init(), boards, errs, alpha=0.5, collision="mean")
+        b = net.td_apply_delayed(net.init(), boards, errs, alpha=0.5, tc=False)
+        probe = _random_boards(jax.random.key(21), 16)
+        np.testing.assert_allclose(
+            np.asarray(net.value(a, probe)),
+            np.asarray(net.value(b, probe)),
+            rtol=1e-5,
+            atol=1e-6,
+        )
+
+    def test_single_window_matches_tc(self):
+        """Same equivalence for the temporal-coherence rule (weights AND
+        E/A accumulators)."""
+        net = NTupleNetwork(NTupleConfig(tuples=TINY_2X3))
+        boards = _random_boards(jax.random.key(22), 8)
+        errs = jnp.linspace(0.5, 4.0, 8)
+        # Two sequential windows so the second sees nonzero E/A.
+        a = net.init_tc()
+        b = net.init_tc()
+        for _ in range(2):
+            a = net.td_apply_tc(a, boards, errs, alpha=0.5)
+            b = net.td_apply_delayed(b, boards, errs, alpha=0.5, tc=True)
+        for k in a:
+            np.testing.assert_allclose(
+                np.asarray(a[k]), np.asarray(b[k]), rtol=1e-5, atol=1e-6
+            ), k
+
+    def test_masked_zero_errors_ignored(self):
+        net = NTupleNetwork(NTupleConfig(tuples=TINY_2X3))
+        board = _random_boards(jax.random.key(23), 1)
+        pair = jnp.concatenate([board, board], axis=0)
+        with_zero = net.td_apply_delayed(
+            net.init(), pair, jnp.asarray([1.0, 0.0]), alpha=0.1, tc=False
+        )
+        alone = net.td_apply_delayed(
+            net.init(), board, jnp.asarray([1.0]), alpha=0.1, tc=False
+        )
+        np.testing.assert_allclose(
+            float(net.value(with_zero, board)[0]),
+            float(net.value(alone, board)[0]),
+            rtol=1e-6,
+        )
+
+    def test_window_of_one_matches_step_mode_trainer(self):
+        """steps_per_update=1 collapses the two trainer modes to the same
+        algorithm: identical trajectories and near-identical tables."""
+        kw = dict(batch_size=16, tuples=TINY_2X3, steps_per_update=1)
+        cfg_s = NTupleTrainConfig(update_mode="step", **kw)
+        cfg_d = NTupleTrainConfig(update_mode="delayed", **kw)
+        st_s, _ = init_ntuple(cfg_s, jax.random.key(24))
+        st_d, _ = init_ntuple(cfg_d, jax.random.key(24))
+        step_s = jax.jit(make_ntuple_step(cfg_s))
+        step_d = jax.jit(make_ntuple_step(cfg_d))
+        for _ in range(12):
+            st_s, _ = step_s(st_s)
+            st_d, _ = step_d(st_d)
+            np.testing.assert_array_equal(
+                np.asarray(st_s.env.boards), np.asarray(st_d.env.boards)
+            )
+        for k in st_s.params:
+            np.testing.assert_allclose(
+                np.asarray(st_s.params[k]),
+                np.asarray(st_d.params[k]),
+                rtol=1e-5,
+                atol=1e-6,
+            )
+
+    def test_delayed_trainer_learns(self):
+        cfg = NTupleTrainConfig(
+            batch_size=128,
+            steps_per_update=64,
+            tuples=SJ_2X4,
+            alpha=1.0,
+            update_mode="delayed",
+        )
+        state, _ = init_ntuple(cfg, jax.random.key(25))
+        base = evaluate_ntuple(
+            state.params, cfg, num_envs=64, num_steps=400, seed=9
+        )
+        step = jax.jit(make_ntuple_step(cfg), donate_argnums=(0,))
+        for _ in range(120):
+            state, m = step(state)
+        trained = evaluate_ntuple(
+            state.params, cfg, num_envs=64, num_steps=400, seed=9
+        )
+        assert trained["avg_score"] > base["avg_score"] * 1.4, (
+            base["avg_score"],
+            trained["avg_score"],
+        )
+
+    def test_unknown_update_mode_raises(self):
+        cfg = NTupleTrainConfig(tuples=TINY_2X3, update_mode="bogus")
+        with pytest.raises(ValueError, match="update_mode"):
+            make_ntuple_step(cfg)
+
+
 class TestTemporalCoherence:
     def test_first_update_matches_plain_mean(self):
         """Untouched entries have modulation 1, so the first TC update
