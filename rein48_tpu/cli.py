@@ -148,6 +148,7 @@ def _cmd_train(args: argparse.Namespace) -> int:
         config = NTupleTrainConfig(
             batch_size=args.batch_size,
             steps_per_update=args.unroll,
+            update_mode=args.update_mode,
             **kwargs,
         )
         _, history = train_ntuple(
@@ -463,6 +464,11 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument(
         "--alpha", type=float, default=None,
         help="TD learning rate (--algo ntuple; default: trainer default)",
+    )
+    pt.add_argument(
+        "--update-mode", choices=("step", "delayed"), default="step",
+        help="--algo ntuple: classic per-step TD or windowed delayed TD "
+        "(much faster on TPU; window = --unroll)",
     )
     pt.add_argument("--seed", type=int, default=0)
     pt.add_argument("--mesh", action="store_true", help="shard over all devices")
