@@ -305,21 +305,31 @@ class NTupleNetwork:
         Applies a whole window of TD backups at once: ``boards``/``err``
         hold EVERY backup of the window (flattened ``[N, 4, 4]`` /
         ``[N]``, masked backups as exact-0 errors), gathered while the
-        tables were frozen. Each touched table entry moves by the MEAN of
-        its nonzero hit errors — the window-granular generalization of
-        ``td_apply(collision="mean")`` — so the per-entry step stays
-        bounded by ``alpha/num_lookups`` regardless of batch size or
-        window length; with ``tc`` the mean error also feeds the
-        temporal-coherence accumulators exactly as in
-        :meth:`td_apply_tc`, once per window.
+        tables were frozen. Each touched table entry with ``h`` nonzero
+        hits of mean error ``m`` moves by the **sequential-equivalent**
+        amount
+
+            ``w += (1 - (1 - alpha*beta)**h) * m / num_lookups``
+
+        — the closed form of ``h`` consecutive per-step TD updates
+        against the window's frozen target (each step sees the error
+        shrunk by the previous step's movement). At ``h=1`` this is
+        exactly one :meth:`td_apply_tc` step; as ``h`` grows it
+        saturates at the entry's full share of the mean error, so it is
+        unconditionally stable (never overshoots the window-mean target)
+        while letting hot entries absorb the whole window's evidence —
+        the plain "move once by the mean" variant starves exactly the
+        entries the batch visits most. With ``tc`` the accumulators
+        receive the full per-hit sums (``E += sum(err)``,
+        ``A += sum(|err|)``), matching per-step TC accumulation.
 
         TPU shape: instead of the per-step argsort + segment trick (the
         sort is what bounds :meth:`td_apply` throughput on TPU), this
-        does two scatter-adds per table (error sum + hit count) and one
-        dense elementwise pass over the table — O(table) HBM traffic
-        paid once per window instead of O(N log N) sort work per step.
+        does three scatter-adds per table (error sum, |error| sum, hit
+        count) and one dense elementwise pass over the table — O(table)
+        HBM traffic paid once per window instead of O(N log N) sort work
+        per step.
         """
-        scale = alpha / self.num_lookups
         live = (err != 0.0).astype(jnp.float32)
         new = dict(params)
         for i, idx in enumerate(self.indices(boards)):
@@ -330,6 +340,7 @@ class NTupleNetwork:
             # Masked backups carry exact-0 errors: they cancel out of the
             # sum and are excluded from the count.
             err_sum = jnp.zeros((n,), jnp.float32).at[ids].add(d)
+            abs_sum = jnp.zeros((n,), jnp.float32).at[ids].add(jnp.abs(d))
             hits = jnp.zeros((n,), jnp.float32).at[ids].add(lv)
             mean_d = err_sum / jnp.maximum(hits, 1.0)
             if tc:
@@ -340,11 +351,16 @@ class NTupleNetwork:
                     jnp.abs(e_acc) / jnp.maximum(a_acc, 1e-30),
                     1.0,
                 )
-                new[f"t{i}"] = params[f"t{i}"] + scale * beta * mean_d
-                new[f"t{i}_E"] = e_acc + mean_d
-                new[f"t{i}_A"] = a_acc + jnp.abs(mean_d)
             else:
-                new[f"t{i}"] = params[f"t{i}"] + scale * mean_d
+                beta = 1.0
+            # (1-s)^h with s in [0,1]: jnp.power handles h=0 (-> 1, so
+            # untouched entries move by 0) and s=1 (full step at h>=1).
+            s = jnp.clip(alpha * beta, 0.0, 1.0)
+            gain = 1.0 - jnp.power(1.0 - s, hits)
+            new[f"t{i}"] = params[f"t{i}"] + (gain / self.num_lookups) * mean_d
+            if tc:
+                new[f"t{i}_E"] = e_acc + err_sum
+                new[f"t{i}_A"] = a_acc + abs_sum
         return new
 
     def make_leaf(self, params):

@@ -149,6 +149,7 @@ def _cmd_train(args: argparse.Namespace) -> int:
             batch_size=args.batch_size,
             steps_per_update=args.unroll,
             update_mode=args.update_mode,
+            delay_window=args.delay_window or None,
             **kwargs,
         )
         _, history = train_ntuple(
@@ -468,7 +469,12 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument(
         "--update-mode", choices=("step", "delayed"), default="step",
         help="--algo ntuple: classic per-step TD or windowed delayed TD "
-        "(much faster on TPU; window = --unroll)",
+        "(much faster on TPU)",
+    )
+    pt.add_argument(
+        "--delay-window", type=int, default=16,
+        help="--update-mode delayed: env steps per frozen-table window "
+        "(must divide --unroll; 0 = whole update)",
     )
     pt.add_argument("--seed", type=int, default=0)
     pt.add_argument("--mesh", action="store_true", help="shard over all devices")

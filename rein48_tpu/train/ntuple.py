@@ -70,12 +70,20 @@ class NTupleTrainConfig:
     # "step": classic TD — tables move after every env step (argsort +
     # segment-mean scatter per step; the sort bounds TPU throughput).
     # "delayed": Jaskowski's delayed/windowed TD — tables are FROZEN for
-    # the steps_per_update window, every backup of the window is
-    # accumulated, and each touched entry moves once by the mean of its
-    # window errors (agents/ntuple.py td_apply_delayed). Much faster on
-    # TPU (no sorts, one scatter pair + one dense table pass per window)
-    # and the published recipe trains fine with windows of ~1k games.
+    # a delay_window of steps, every backup of the window is
+    # accumulated, and each touched entry moves by the sequential-
+    # equivalent saturating step (agents/ntuple.py td_apply_delayed).
+    # Much faster on TPU (no sorts, scatter-adds + one dense table pass
+    # per window) and the published recipe trains fine with large
+    # windows.
     update_mode: str = "step"
+    # Window length (in env steps) for update_mode="delayed": tables
+    # refresh every delay_window steps, so value information still
+    # propagates backward through the bootstrap every window rather
+    # than once per update. Must divide steps_per_update. None freezes
+    # tables for the whole update (the round-1 behavior; measured ~4x
+    # less sample-efficient at steps_per_update=128 than per-step TD).
+    delay_window: int | None = 16
 
     def network_config(self) -> ntuple_lib.NTupleConfig:
         return ntuple_lib.NTupleConfig(
@@ -208,36 +216,57 @@ def make_ntuple_step(config: NTupleTrainConfig):
         )
         return params, env, prev_after, prev_valid, ms
 
+    window = config.delay_window or config.steps_per_update
+    if config.update_mode == "delayed" and config.steps_per_update % window:
+        raise ValueError(
+            f"delay_window {window} must divide "
+            f"steps_per_update {config.steps_per_update}"
+        )
+
     def _scan_delayed(state: NTupleTrainState):
-        """"delayed" mode: tables frozen across the window; the scan
-        emits every backup and one windowed apply lands them all."""
-        params = state.params
+        """"delayed" mode: an outer scan over windows; within each
+        window the tables are frozen, the inner scan emits every backup,
+        and one windowed apply lands them all."""
 
-        def body_frozen(carry, _):
-            env, prev_after, prev_valid = carry
-            env2, chosen_after, done, upd_boards, upd_errs, metrics = (
-                _policy_and_backups(params, env, prev_after, prev_valid)
-            )
-            return (env2, chosen_after, 1.0 - done), (
-                upd_boards,
-                upd_errs,
-                metrics,
-            )
+        def window_body(carry, _):
+            params, env, prev_after, prev_valid = carry
 
-        (env, prev_after, prev_valid), (boards, errs, ms) = jax.lax.scan(
-            body_frozen,
-            (state.env, state.prev_after, state.prev_valid),
+            def body_frozen(inner, _):
+                env, prev_after, prev_valid = inner
+                env2, chosen_after, done, upd_boards, upd_errs, metrics = (
+                    _policy_and_backups(params, env, prev_after, prev_valid)
+                )
+                return (env2, chosen_after, 1.0 - done), (
+                    upd_boards,
+                    upd_errs,
+                    metrics,
+                )
+
+            (env, prev_after, prev_valid), (boards, errs, ms) = jax.lax.scan(
+                body_frozen,
+                (env, prev_after, prev_valid),
+                None,
+                length=window,
+            )
+            params = net.td_apply_delayed(
+                params,
+                boards.reshape((-1,) + boards.shape[2:]),
+                errs.reshape(-1),
+                alpha,
+                tc=config.tc,
+            )
+            return (params, env, prev_after, prev_valid), ms
+
+        (params, env, prev_after, prev_valid), ms = jax.lax.scan(
+            window_body,
+            (state.params, state.env, state.prev_after, state.prev_valid),
             None,
-            length=config.steps_per_update,
+            length=config.steps_per_update // window,
         )
-        new_params = net.td_apply_delayed(
-            params,
-            boards.reshape((-1,) + boards.shape[2:]),
-            errs.reshape(-1),
-            alpha,
-            tc=config.tc,
-        )
-        return new_params, env, prev_after, prev_valid, ms
+        # Metrics arrive [num_windows, window, ...]; the caller reduces
+        # over all leading axes, so flatten them together.
+        ms = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), ms)
+        return params, env, prev_after, prev_valid, ms
 
     def step_fn(state: NTupleTrainState):
         scan = _scan_step if config.update_mode == "step" else _scan_delayed

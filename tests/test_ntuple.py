@@ -272,14 +272,16 @@ class TestDelayedUpdate:
     update_mode="delayed" trainer path (Jaskowski's TCIAIG-2017 scheme,
     the TPU-fast variant: no per-step sorts)."""
 
-    def test_single_window_matches_plain_mean(self):
-        """One window of distinct boards: the dense S/C mean must equal
-        the sort-based collision-mean update exactly."""
+    def test_single_hit_matches_td_apply(self):
+        """A board whose 16 cells hold 16 distinct exponents touches
+        every entry exactly once (no two symmetry images read the same
+        ordered cell triple), so the saturating rule reduces to exactly
+        one plain TD step."""
         net = NTupleNetwork(NTupleConfig(tuples=TINY_2X3))
-        boards = _random_boards(jax.random.key(20), 8)
-        errs = jnp.linspace(-2.0, 2.0, 8)
-        a = net.td_apply(net.init(), boards, errs, alpha=0.5, collision="mean")
-        b = net.td_apply_delayed(net.init(), boards, errs, alpha=0.5, tc=False)
+        board = jnp.arange(16, dtype=jnp.uint8).reshape(1, 4, 4)
+        errs = jnp.asarray([1.7])
+        a = net.td_apply(net.init(), board, errs, alpha=0.5, collision="mean")
+        b = net.td_apply_delayed(net.init(), board, errs, alpha=0.5, tc=False)
         probe = _random_boards(jax.random.key(21), 16)
         np.testing.assert_allclose(
             np.asarray(net.value(a, probe)),
@@ -288,22 +290,47 @@ class TestDelayedUpdate:
             atol=1e-6,
         )
 
-    def test_single_window_matches_tc(self):
-        """Same equivalence for the temporal-coherence rule (weights AND
-        E/A accumulators)."""
+    def test_single_hit_matches_tc(self):
+        """Same h=1 equivalence for the temporal-coherence rule (weights
+        AND E/A accumulators), across two sequential windows so the
+        second sees nonzero E/A."""
         net = NTupleNetwork(NTupleConfig(tuples=TINY_2X3))
-        boards = _random_boards(jax.random.key(22), 8)
-        errs = jnp.linspace(0.5, 4.0, 8)
-        # Two sequential windows so the second sees nonzero E/A.
+        board = jnp.arange(16, dtype=jnp.uint8).reshape(1, 4, 4)
+        errs = jnp.asarray([2.5])
         a = net.init_tc()
         b = net.init_tc()
         for _ in range(2):
-            a = net.td_apply_tc(a, boards, errs, alpha=0.5)
-            b = net.td_apply_delayed(b, boards, errs, alpha=0.5, tc=True)
+            a = net.td_apply_tc(a, board, errs, alpha=0.5)
+            b = net.td_apply_delayed(b, board, errs, alpha=0.5, tc=True)
         for k in a:
             np.testing.assert_allclose(
                 np.asarray(a[k]), np.asarray(b[k]), rtol=1e-5, atol=1e-6
             ), k
+
+    def test_saturating_hot_entries(self):
+        """An entry hit h times with the same error moves by the closed
+        form of h sequential TD steps, (1-(1-alpha)^h)*err/L — NOT by
+        h*alpha*err/L (divergent sum) or alpha*err/L (starved mean)."""
+        net = NTupleNetwork(NTupleConfig(tuples=TINY_2X3))
+        board = jnp.arange(16, dtype=jnp.uint8).reshape(1, 4, 4)
+        h, alpha, e = 8, 0.3, 1.3
+        boards = jnp.repeat(board, h, axis=0)
+        errs = jnp.full((h,), e)
+        new = net.td_apply_delayed(net.init(), boards, errs, alpha, tc=False)
+        got = float(net.value(new, board)[0])
+        want = (1.0 - (1.0 - alpha) ** h) * e
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+        # TC accumulators receive the full per-hit sums.
+        new_tc = net.td_apply_delayed(
+            net.init_tc(), boards, errs, alpha, tc=True
+        )
+        idx0 = np.asarray(net.indices(board)[0][0])
+        np.testing.assert_allclose(
+            np.asarray(new_tc["t0_E"])[idx0], h * e, rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_tc["t0_A"])[idx0], h * abs(e), rtol=1e-6
+        )
 
     def test_masked_zero_errors_ignored(self):
         net = NTupleNetwork(NTupleConfig(tuples=TINY_2X3))
@@ -321,29 +348,46 @@ class TestDelayedUpdate:
             rtol=1e-6,
         )
 
-    def test_window_of_one_matches_step_mode_trainer(self):
-        """steps_per_update=1 collapses the two trainer modes to the same
-        algorithm: identical trajectories and near-identical tables."""
-        kw = dict(batch_size=16, tuples=TINY_2X3, steps_per_update=1)
-        cfg_s = NTupleTrainConfig(update_mode="step", **kw)
-        cfg_d = NTupleTrainConfig(update_mode="delayed", **kw)
-        st_s, _ = init_ntuple(cfg_s, jax.random.key(24))
-        st_d, _ = init_ntuple(cfg_d, jax.random.key(24))
-        step_s = jax.jit(make_ntuple_step(cfg_s))
-        step_d = jax.jit(make_ntuple_step(cfg_d))
-        for _ in range(12):
-            st_s, _ = step_s(st_s)
-            st_d, _ = step_d(st_d)
-            np.testing.assert_array_equal(
-                np.asarray(st_s.env.boards), np.asarray(st_d.env.boards)
+    def test_delay_window_splits_update(self):
+        """delay_window < steps_per_update refreshes tables mid-update:
+        the split run must differ from the whole-update freeze (the
+        windows see fresher bootstraps) while both trainers stay finite
+        and step the same number of env steps.
+
+        (The two modes no longer coincide at window=1: step mode
+        resolves batch collisions by the per-step mean, the delayed rule
+        by the saturating sequential-equivalent step — see
+        agents/ntuple.py td_apply_delayed.)"""
+        kw = dict(
+            batch_size=16, tuples=TINY_2X3, steps_per_update=8,
+            update_mode="delayed",
+        )
+        cfg_whole = NTupleTrainConfig(delay_window=None, **kw)
+        cfg_split = NTupleTrainConfig(delay_window=4, **kw)
+        st_w, _ = init_ntuple(cfg_whole, jax.random.key(24))
+        st_s, _ = init_ntuple(cfg_split, jax.random.key(24))
+        step_w = jax.jit(make_ntuple_step(cfg_whole))
+        step_s = jax.jit(make_ntuple_step(cfg_split))
+        for _ in range(6):
+            st_w, m_w = step_w(st_w)
+            st_s, m_s = step_s(st_s)
+        assert float(m_w["env_steps"]) == float(m_s["env_steps"])
+        diff = 0.0
+        for k in st_w.params:
+            assert np.isfinite(np.asarray(st_w.params[k])).all(), k
+            assert np.isfinite(np.asarray(st_s.params[k])).all(), k
+            diff += float(
+                jnp.sum(jnp.abs(st_w.params[k] - st_s.params[k]))
             )
-        for k in st_s.params:
-            np.testing.assert_allclose(
-                np.asarray(st_s.params[k]),
-                np.asarray(st_d.params[k]),
-                rtol=1e-5,
-                atol=1e-6,
-            )
+        assert diff > 0.0
+
+    def test_delay_window_must_divide(self):
+        cfg = NTupleTrainConfig(
+            tuples=TINY_2X3, steps_per_update=12, delay_window=5,
+            update_mode="delayed",
+        )
+        with pytest.raises(ValueError, match="delay_window"):
+            make_ntuple_step(cfg)
 
     def test_delayed_trainer_learns(self):
         cfg = NTupleTrainConfig(
