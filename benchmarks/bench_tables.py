@@ -1,0 +1,162 @@
+# Copyright 2026 The rein48-tpu Authors.
+# SPDX-License-Identifier: Apache-2.0
+"""Microbenchmark: random gathers/scatters into n-tuple value tables.
+
+Measures every strategy considered for the n-tuple trainer's hot ops
+(``agents/ntuple.py``): the value lookup (a 160k-element random gather
+into 16^6-entry tables per env step at B=1024) and the TD collision-mean
+apply. Run it alone — it owns the TPU tunnel.
+
+Measured on TPU v5e (one chip, 2026-08-20, fenced with scalar fetches —
+over the axon tunnel ``block_until_ready`` returns at enqueue, which
+inflates rates ~100x; see utils/profiling.py):
+
+    g0 flat fancy-index                3.49 ms        46.9 M elem/s
+    g1 row16 + take_along              6.33 ms        25.9 M elem/s
+    g1b row16 + onehot-sum             4.71 ms        34.8 M elem/s
+    g3 sorted gather                   4.87 ms        33.6 M elem/s
+    g4 value-like gather+reduce        3.45 ms        47.4 M elem/s
+    s0 scatter-add flat                3.82 ms        42.9 M elem/s
+    s2 scatter-add sorted              6.17 ms        26.6 M elem/s
+    sort only (argsort 160k)           2.92 ms        56.2 M elem/s
+    mean via argsort+segments          9.05 ms        18.1 M elem/s
+    mean via scratch+gatherback        7.70 ms        21.3 M elem/s
+
+Conclusions baked into the framework design:
+
+* XLA lowers big-table gathers/scatters on TPU to a serial loop at a
+  flat ~47M elements/s — independent of layout (flat vs 16/128-wide
+  rows), sortedness, or batching. The plain 1D fancy-index is already
+  optimal; every "clever" layout is slower because it moves MORE
+  elements through the same loop.
+* The n-tuple trainer does 160 lookups per env step (4 afterstates + 1
+  previous afterstate, 32 symmetry images each), so ~300k env-steps/s
+  is the hard XLA ceiling for ANY update mode at any batch size; the
+  per-step collision-mean apply puts step mode at ~100k. This is why
+  ``update_mode="delayed"`` exists (it amortizes the apply but pays
+  ~3x capability-per-step — measured in tests/test_ntuple.py's regime;
+  per-step TD at B~1k wins capability per wall-clock).
+* Beating the wall needs a Mosaic/Pallas kernel doing scalar-core VMEM
+  gathers, which requires tables small enough to stay VMEM-resident
+  (e.g. 5-cell tuples at 4MB/table), or SparseCore hardware (not on
+  v5e). The 4x6 network's 4x67MB tables rule that out on this chip.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+N_TABLE = 16**6
+N_IDX = 160 * 1024  # lookups per env-step at B=1024 in the trainer
+
+
+def timeit(name, fn, *args):
+    float(fn(*args))  # compile + warm
+    reps = 10
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    float(out)  # fence: scalar fetch, not block_until_ready
+    dt = (time.perf_counter() - t0) / reps
+    print(f"{name:30s} {dt*1e3:8.2f} ms   {N_IDX/dt/1e6:9.1f} M elem/s",
+          flush=True)
+
+
+@jax.jit
+def g0_flat(table, idx):
+    return jnp.sum(table[idx])
+
+
+@jax.jit
+def g1_row16(table, idx):
+    t2 = table.reshape(N_TABLE // 16, 16)
+    rows = t2[idx >> 4]  # [N, 16]
+    return jnp.sum(jnp.take_along_axis(rows, (idx & 15)[:, None], axis=1))
+
+
+@jax.jit
+def g1b_row16_onehot(table, idx):
+    t2 = table.reshape(N_TABLE // 16, 16)
+    rows = t2[idx >> 4]
+    oh = jax.nn.one_hot(idx & 15, 16, dtype=jnp.float32)
+    return jnp.sum(rows * oh)
+
+
+@jax.jit
+def g3_sorted(table, idx):
+    order = jnp.argsort(idx)
+    return jnp.sum(table[idx[order]])
+
+
+@jax.jit
+def g4_value_like(table, idx):
+    # Five board-sets x 32 lookups as in the trainer's hot loop.
+    v = table[idx].reshape(5, N_IDX // (5 * 32), 32)
+    return jnp.sum(jnp.sum(v, axis=-1))
+
+
+@jax.jit
+def s0_scatter_add(table, idx, vals):
+    return jnp.sum(table.at[idx].add(vals)[:8])
+
+
+@jax.jit
+def s2_scatter_sorted(table, idx, vals):
+    order = jnp.argsort(idx)
+    return jnp.sum(
+        table.at[idx[order]].add(vals[order], indices_are_sorted=True)[:8]
+    )
+
+
+@jax.jit
+def sort_only(idx):
+    return jnp.sum(jnp.argsort(idx))
+
+
+@jax.jit
+def mean_sorted(table, idx, vals):
+    # The td_apply collision="mean" path: argsort + segment means.
+    order = jnp.argsort(idx)
+    s_ids = idx[order]
+    s_d = vals[order]
+    first = jnp.concatenate([jnp.ones((1,), bool), s_ids[1:] != s_ids[:-1]])
+    seg = jnp.cumsum(first) - 1
+    live = (s_d != 0.0).astype(s_d.dtype)
+    counts = jnp.zeros(idx.shape, s_d.dtype).at[seg].add(live)
+    d = s_d / jnp.maximum(counts[seg], 1.0)
+    return jnp.sum(table.at[s_ids].add(d, mode="drop")[:8])
+
+
+@jax.jit
+def mean_scratch(table, idx, vals):
+    # Sort-free collision mean: scatter hit counts into a dense scratch,
+    # gather them back per element, scale, scatter-add.
+    live = (vals != 0.0).astype(jnp.float32)
+    hits = jnp.zeros((N_TABLE,), jnp.float32).at[idx].add(live)
+    d = vals / jnp.maximum(hits[idx], 1.0)
+    return jnp.sum(table.at[idx].add(d, mode="drop")[:8])
+
+
+def main():
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    key = jax.random.key(0)
+    table = jnp.zeros((N_TABLE,), jnp.float32) + 1.0
+    idx = jax.random.randint(key, (N_IDX,), 0, N_TABLE, dtype=jnp.int32)
+    vals = jnp.sin(jnp.arange(N_IDX, dtype=jnp.float32))
+
+    print("devices:", jax.devices(), flush=True)
+    timeit("g0 flat fancy-index", g0_flat, table, idx)
+    timeit("g1 row16 + take_along", g1_row16, table, idx)
+    timeit("g1b row16 + onehot-sum", g1b_row16_onehot, table, idx)
+    timeit("g3 sorted gather", g3_sorted, table, idx)
+    timeit("g4 value-like gather+reduce", g4_value_like, table, idx)
+    timeit("s0 scatter-add flat", s0_scatter_add, table, idx, vals)
+    timeit("s2 scatter-add sorted", s2_scatter_sorted, table, idx, vals)
+    timeit("sort only (argsort 160k)", sort_only, idx)
+    timeit("mean via argsort+segments", mean_sorted, table, idx, vals)
+    timeit("mean via scratch+gatherback", mean_scratch, table, idx, vals)
+
+
+if __name__ == "__main__":
+    main()
