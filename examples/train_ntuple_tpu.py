@@ -45,7 +45,9 @@ config = NTupleTrainConfig(
 )
 
 logger = MetricLogger(log_dir="runs/ntuple_tpu")
-ckpt = Checkpointer("ckpt/ntuple_tpu", save_every=100, max_to_keep=2)
+# Saves (device->host) cost ~25-40s for the ~800MB state; every 200
+# updates keeps the overhead ~10% while bounding crash loss to ~5 min.
+ckpt = Checkpointer("ckpt/ntuple_tpu", save_every=200, max_to_keep=2)
 state, history = train_ntuple(
     config,
     num_updates=NUM_UPDATES,
@@ -56,11 +58,24 @@ state, history = train_ntuple(
 )
 ckpt.save(int(state.update_step), state)
 
-stats = evaluate_ntuple(
-    state.params, config, depth=0, num_envs=1024, num_steps=8192, seed=123
-)
-print("EVAL depth0:", stats, flush=True)
-# depth>=1 expectimax evals cost ~128x the depth-0 leaf work per step; run
-# them separately (see examples/eval_ntuple_tpu.py) once the checkpoint is
-# on disk, so a slow planner sweep never holds the training artifacts.
+# Evaluate IN-PROCESS with the live device params: checkpoint restore
+# onto the TPU is impractical here (host->device over the axon tunnel
+# crawls; a scalar fetch after restoring the 800MB state blocked >18
+# min), so everything that needs the tables on-device happens in this
+# process while they are already there.
+import json
+
+results = {}
+for depth, envs, steps in ((0, 1024, 8192), (1, 256, 8192)):
+    stats = evaluate_ntuple(
+        state.params, config, depth=depth, num_envs=envs, num_steps=steps,
+        seed=123 + depth,
+    )
+    results[f"depth{depth}"] = stats
+    print(f"EVAL depth{depth} (envs={envs}, steps={steps}):", stats,
+          flush=True)
+with open("runs/ntuple_tpu/eval.json", "w") as f:
+    json.dump({"checkpoint_step": int(state.update_step),
+               "results": results}, f, indent=2)
+print("wrote runs/ntuple_tpu/eval.json", flush=True)
 logger.close()
