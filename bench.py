@@ -41,7 +41,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BATCH = 65536
 UNROLL = 2048
-ROUNDS = 3
+MIN_ROUNDS = 4
+MAX_ROUNDS = 12
+PATIENCE = 3  # stop once the best round hasn't improved >1% in this many
 TARGET = 10_000_000.0
 
 
@@ -49,22 +51,74 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def preflight(force) -> None:
+    """Wait out shared-tunnel contention before timing anything.
+
+    This environment funnels every device interaction through one shared
+    TPU tunnel; a concurrently-registered process can stall round-trips
+    for minutes (BENCH_r02's 819s reset_batch vs r01's 39.5s — same
+    code). A trivial-op round-trip is the contention probe: retry until
+    it is fast twice in a row, so the measured rounds start on a quiet
+    tunnel.
+    """
+    import jax.numpy as jnp
+
+    tiny = jax.jit(lambda x: x + 1.0)
+    good, t_probe = 0, float("inf")
+    for attempt in range(30):
+        t0 = time.perf_counter()
+        force(tiny(jnp.float32(attempt)))
+        t_probe = time.perf_counter() - t0
+        good = good + 1 if t_probe < 0.25 else 0
+        log(f"preflight: probe {attempt}: {t_probe * 1e3:.0f}ms")
+        if good >= 2:
+            return
+        if t_probe >= 0.25:
+            time.sleep(min(10.0, 2.0 + attempt))
+    log(f"preflight: tunnel still slow ({t_probe:.1f}s RTT); benching anyway")
+
+
 def _bench_engine(name, state, rollout, force):
-    """Time ROUNDS rollouts of an engine; returns (best steps/s, state)."""
+    """Best-of-adaptive-N rollout timing; returns (best steps/s, state).
+
+    Takes the BEST round and keeps measuring (up to MAX_ROUNDS, stopping
+    after PATIENCE non-improving rounds past MIN_ROUNDS) so transient
+    tunnel contention mid-bench delays the answer instead of degrading
+    it — round times here are 50-500ms against contention stalls of
+    seconds-to-minutes, so the fastest observed round is the hardware
+    number.
+    """
     t0 = time.perf_counter()
     state = rollout(state, 0)
     force(state.score)
     log(f"{name}: first rollout (compile): {time.perf_counter() - t0:.1f}s")
+    # Warmup round: lets allocator/tunnel settle post-compile.
+    t0 = time.perf_counter()
+    state = rollout(state, 1)
+    force(state.score)
+    log(f"{name}: warmup: {(time.perf_counter() - t0) * 1e3:.1f}ms")
 
-    best = 0.0
-    for i in range(ROUNDS):
+    best, since_improved, times = 0.0, 0, []
+    for i in range(MAX_ROUNDS):
         t0 = time.perf_counter()
-        state = rollout(state, i + 1)
+        state = rollout(state, i + 2)
         force(state.score)  # fences the whole round
         dt = time.perf_counter() - t0
+        times.append(dt)
         sps = BATCH * UNROLL / dt
-        best = max(best, sps)
+        if sps > best * 1.01:
+            best, since_improved = max(best, sps), 0
+        else:
+            since_improved += 1
         log(f"{name}: round {i}: {dt * 1e3:.1f}ms -> {sps / 1e6:.1f}M steps/s")
+        if i + 1 >= MIN_ROUNDS and since_improved >= PATIENCE:
+            break
+    med = sorted(times)[len(times) // 2]
+    log(
+        f"{name}: best {best / 1e6:.1f}M steps/s over {len(times)} rounds "
+        f"(median round {med * 1e3:.1f}ms, spread "
+        f"{min(times) * 1e3:.1f}-{max(times) * 1e3:.1f}ms)"
+    )
     return best, state
 
 
@@ -75,6 +129,7 @@ def main() -> None:
     log(f"devices: {jax.devices()}")
     key = jax.random.key(0)
 
+    preflight(force)
     t0 = time.perf_counter()
     state = vector.reset_batch(key, BATCH)
     force(state.score)

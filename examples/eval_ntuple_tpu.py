@@ -48,6 +48,7 @@ params = ckpt.restore_field("params")
 params = {k: jax.device_put(jax.numpy.asarray(v)) for k, v in params.items()}
 print(f"checkpoint step {step}; tables: {sorted(params)}", flush=True)
 
+os.makedirs("runs/ntuple_tpu", exist_ok=True)
 results = {}
 for depth in range(MAX_DEPTH + 1):
     # Deeper trees cost ~17x per level; shrink the sweep to compensate.
@@ -57,10 +58,12 @@ for depth in range(MAX_DEPTH + 1):
         params, config, depth=depth, num_envs=envs, num_steps=steps,
         seed=123 + depth,
     )
+    stats["num_envs"], stats["num_steps"] = envs, steps
     results[f"depth{depth}"] = stats
     print(f"EVAL depth{depth} (envs={envs}, steps={steps}):", stats,
           flush=True)
-
-with open("runs/ntuple_tpu/eval.json", "w") as f:
-    json.dump({"checkpoint_step": step, "results": results}, f, indent=2)
+    # Write incrementally: a crash in a deeper (17x costlier) sweep must
+    # not lose the depths already measured.
+    with open("runs/ntuple_tpu/eval.json", "w") as f:
+        json.dump({"checkpoint_step": step, "results": results}, f, indent=2)
 print("wrote runs/ntuple_tpu/eval.json", flush=True)

@@ -60,12 +60,32 @@ def initialize(
     environment only.
     """
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if addr is not None and jax.process_count() == 1:
-        jax.distributed.initialize(
-            coordinator_address=addr,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
+    if addr is not None:
+        # Ordering matters: jax.distributed.initialize must run before the
+        # local backend comes up, and merely ASKING jax.process_count()
+        # initializes that backend — so a late call would silently no-op a
+        # real multi-host join (every host would think it is a 1-process
+        # job). Detect the states without touching the backend and fail
+        # loudly on the ordering bug instead.
+        from jax._src import distributed as _dist
+        from jax._src import xla_bridge as _bridge
+
+        if _dist.global_state.coordinator_address is not None:
+            pass  # already joined — idempotent re-call
+        elif _bridge.backends_are_initialized():
+            raise RuntimeError(
+                "multihost.initialize() called after the JAX backend was "
+                "already initialized (some jax computation or device query "
+                "ran first). jax.distributed.initialize cannot take effect "
+                "now; call multihost.initialize() at program start, before "
+                "any other JAX use."
+            )
+        else:
+            jax.distributed.initialize(
+                coordinator_address=addr,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
     return HostTopology(
         process_index=jax.process_index(),
         process_count=jax.process_count(),

@@ -46,7 +46,11 @@ class NTupleTrainConfig:
 
     alpha is the TOTAL learning rate per TD backup, split evenly over the
     network's lookups (``agents/ntuple.py td_apply``); 0.1 over 32
-    lookups reproduces the classic per-weight 0.0025-0.003 range.
+    lookups reproduces the classic per-weight 0.0025-0.003 range. With
+    ``update_mode="delayed"`` the effective per-window step saturates at
+    alpha*beta = 1 (``td_apply_delayed``); alpha > 1 therefore requires
+    ``tc=True`` (where beta = |E|/A <= 1 modulates it) and is rejected
+    for tc=False rather than silently clamped.
     """
 
     batch_size: int = 1024
@@ -148,6 +152,17 @@ def make_ntuple_step(config: NTupleTrainConfig):
     alpha = config.alpha
     if config.update_mode not in ("step", "delayed"):
         raise ValueError(f"unknown update_mode '{config.update_mode}'")
+    if config.update_mode == "delayed" and not config.tc and config.alpha > 1.0:
+        # td_apply_delayed's sequential-equivalent gain clamps the
+        # per-step fraction alpha*beta to [0, 1]; with tc=False (beta=1)
+        # an alpha above 1 would silently train at alpha=1 while "step"
+        # mode applies it unclipped — error instead of quietly diverging
+        # from the mode the user asked to compare against.
+        raise ValueError(
+            f"alpha={config.alpha} > 1 with update_mode='delayed', tc=False: "
+            "the windowed update saturates at alpha=1; use alpha <= 1 "
+            "(or tc=True, where large alpha is modulated per-entry)."
+        )
 
     def _policy_and_backups(params, env, prev_after, prev_valid):
         """Greedy afterstate step + the window's two TD backups.

@@ -39,7 +39,12 @@ class Checkpointer:
         self._mngr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep, create=True
+                max_to_keep=max_to_keep,
+                create=True,
+                # A crash mid-save leaves an `N.orbax-checkpoint-tmp` dir;
+                # it must never be mistaken for step N on resume, and a
+                # fresh manager sweeps it so the garbage cannot accumulate.
+                cleanup_tmp_directories=True,
             ),
         )
 

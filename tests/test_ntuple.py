@@ -246,6 +246,31 @@ class TestTrainer:
         state, hist = train_ntuple(cfg, num_updates=2, mesh=mesh, log_every=1)
         assert np.isfinite(hist[-1]["td_abs_err"])
 
+    def test_mesh_training_delayed_mode(self):
+        """update_mode="delayed" on the 8-device CPU mesh: the window
+        scan stacks backups along a new leading axis and reshapes across
+        the sharded batch axis before dense scatter-adds into replicated
+        tables — a distinct lowering from step mode that deserves its own
+        mesh coverage (ADVICE r2)."""
+        from rein48_tpu.parallel import mesh as mesh_lib
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs the multi-device CPU fixture")
+        mesh = mesh_lib.make_mesh()
+        cfg = NTupleTrainConfig(
+            batch_size=16,
+            steps_per_update=8,
+            tuples=TINY_2X3,
+            update_mode="delayed",
+            delay_window=4,
+        )
+        state, hist = train_ntuple(cfg, num_updates=3, mesh=mesh, log_every=1)
+        assert np.isfinite(hist[-1]["td_abs_err"])
+        assert all(np.all(np.isfinite(v)) for v in state.params.values())
+        # Same env-step accounting as step mode, and the tables moved.
+        assert int(state.update_step) == 3
+        assert float(jnp.sum(jnp.abs(state.params["t0"]))) > 0.0
+
 
 class TestPlannerComposition:
     def test_depth1_at_least_matches_greedy_on_average(self):
@@ -416,6 +441,23 @@ class TestDelayedUpdate:
         cfg = NTupleTrainConfig(tuples=TINY_2X3, update_mode="bogus")
         with pytest.raises(ValueError, match="update_mode"):
             make_ntuple_step(cfg)
+
+    def test_delayed_plain_alpha_above_one_rejected(self):
+        """The windowed update saturates at alpha=1 for tc=False; a
+        larger alpha must error, not silently clamp (ADVICE r2)."""
+        cfg = NTupleTrainConfig(
+            tuples=TINY_2X3, update_mode="delayed", tc=False, alpha=1.5,
+            delay_window=4,
+        )
+        with pytest.raises(ValueError, match="alpha"):
+            make_ntuple_step(cfg)
+        # tc=True modulates large alphas per-entry: allowed.
+        make_ntuple_step(
+            NTupleTrainConfig(
+                tuples=TINY_2X3, update_mode="delayed", tc=True, alpha=1.5,
+                delay_window=4,
+            )
+        )
 
 
 class TestTemporalCoherence:

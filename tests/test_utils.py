@@ -123,6 +123,29 @@ class TestCheckpointer:
         assert loaded["reward_mode"] == "MERGE_SCORE"
         ckpt.close()
 
+    def test_latest_step_ignores_crashed_tmp_checkpoint(self, tmp_path):
+        """A crash mid-save leaves `N.orbax-checkpoint-tmp`; resume must
+        restore the last GOOD step, not the garbage (VERDICT r2: a stale
+        tmp dir in ckpt/ntuple_tpu was a live crash-on-resume hazard)."""
+        state = {"w": np.arange(8.0), "step": np.asarray(3)}
+        ckpt = Checkpointer(str(tmp_path / "ckpt"), save_every=1)
+        ckpt.save(3, state)
+        ckpt.close()
+
+        # Fake the debris of a crash during the step-4 save.
+        tmp_dir = tmp_path / "ckpt" / "4.orbax-checkpoint-tmp"
+        tmp_dir.mkdir()
+        (tmp_dir / "_METADATA").write_text("{}")
+
+        fresh = Checkpointer(str(tmp_path / "ckpt"))
+        assert fresh.latest_step() == 3
+        restored = fresh.restore({"w": np.zeros(8), "step": np.asarray(0)})
+        np.testing.assert_array_equal(restored["w"], state["w"])
+        assert int(restored["step"]) == 3
+        # The constructor's cleanup_tmp_directories sweep removed it.
+        assert not tmp_dir.exists()
+        fresh.close()
+
     def test_load_config_absent_returns_none(self, tmp_path):
         ckpt = Checkpointer(str(tmp_path / "ckpt"))
         assert ckpt.load_config() is None
