@@ -168,6 +168,74 @@ def _search_rollout(params, start_state, *, policy_fn, num_steps):
     return final, _episode_stats(outs)
 
 
+@functools.partial(jax.jit, static_argnames=("policy_fn", "num_steps"))
+def _first_episode_rollout(params, start_state, *, policy_fn, num_steps):
+    """First-episode capability sweep: exactly B episodes, no length bias.
+
+    The windowed protocol (:func:`_search_rollout` + ``_episode_stats``)
+    counts episodes that COMPLETE within the sweep — which systematically
+    drops the longest (= strongest: in 2048, reaching a higher tile takes
+    proportionally more moves) episodes still running at the end, biasing
+    attainment fractions DOWN for strong agents. Here each env contributes
+    its first episode and nothing else; envs whose first episode outlives
+    the sweep are credited with their live score/max-tile, which only
+    under-counts (a lower bound — the episode would have finished at least
+    this high). ``unfinished`` in the stats says how much truncation
+    happened; size ``num_steps`` so it is ~0.
+    """
+
+    def body(carry, _):
+        st, acc = carry
+        actions = policy_fn(params, st.boards)
+        st2, out = vector.step_autoreset(st, actions)
+        first = out.done & ~acc["finished"]
+        acc = {
+            "finished": acc["finished"] | out.done,
+            "score": jnp.where(first, out.episode_score, acc["score"]),
+            "tile_sum": jnp.where(first, out.episode_tile_sum, acc["tile_sum"]),
+            "length": jnp.where(first, out.episode_length, acc["length"]),
+            "max_tile": jnp.where(first, out.max_tile, acc["max_tile"]),
+        }
+        return (st2, acc), None
+
+    B = start_state.score.shape[0]
+    init = {
+        "finished": jnp.zeros((B,), bool),
+        "score": jnp.zeros((B,), jnp.float32),
+        "tile_sum": jnp.zeros((B,), jnp.float32),
+        "length": jnp.zeros((B,), jnp.int32),
+        "max_tile": jnp.zeros((B,), jnp.float32),
+    }
+    (final, acc), _ = jax.lax.scan(
+        body, (start_state, init), None, length=num_steps
+    )
+
+    # Envs still inside their first episode: credit the live episode as a
+    # lower bound (max tile never decreases; score only grows).
+    fin = acc["finished"]
+    boards_f = final.boards.astype(jnp.float32)
+    live_max = jnp.exp2(jnp.max(boards_f, axis=(-2, -1)))
+    live_tile_sum = jnp.sum(
+        jnp.where(final.boards > 0, jnp.exp2(boards_f), 0.0), axis=(-2, -1)
+    )
+    score = jnp.where(fin, acc["score"], final.score)
+    tile_sum = jnp.where(fin, acc["tile_sum"], live_tile_sum)
+    length = jnp.where(fin, acc["length"], final.steps)
+    max_tile = jnp.where(fin, acc["max_tile"], live_max)
+
+    stats = {
+        "episodes": jnp.asarray(B, jnp.float32),
+        "unfinished": jnp.sum(~fin).astype(jnp.float32),
+        "avg_score": jnp.mean(score),
+        "avg_tile_sum": jnp.mean(tile_sum),
+        "avg_length": jnp.mean(length.astype(jnp.float32)),
+        "best_tile": jnp.max(max_tile),
+    }
+    for tier in _TILE_TIERS:
+        stats[f"frac_{tier}"] = jnp.mean((max_tile >= tier).astype(jnp.float32))
+    return final, stats
+
+
 def evaluate_search(
     *,
     depth: int = 1,

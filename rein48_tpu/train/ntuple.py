@@ -421,16 +421,28 @@ def evaluate_ntuple(
     num_envs: int = 512,
     num_steps: int = 4096,
     seed: int = 0,
+    protocol: str = "window",
 ) -> Dict[str, float]:
-    """Greedy (or expectimax-boosted) evaluation sweep; same statistics
-    as ``train.evaluate.evaluate_policy``."""
+    """Greedy (or expectimax-boosted) evaluation sweep.
+
+    protocol="window" reports completed-episode statistics within the
+    sweep (same as ``train.evaluate.evaluate_policy``); "first" scores
+    exactly ``num_envs`` first episodes with no completion-length bias
+    (``evaluate._first_episode_rollout``) — use it for headline
+    capability numbers, with ``num_steps`` >= the longest plausible
+    episode (a 16384-tile game runs ~17k moves).
+    """
     from rein48_tpu.train import evaluate
 
     if isinstance(config, NTupleTrainConfig):
         config = config.network_config()
     policy_fn = _get_ntuple_policy(config, depth)
     state = vector.reset_batch(jax.random.key(seed), num_envs)
-    _, stats = evaluate._search_rollout(
+    rollout = {
+        "window": evaluate._search_rollout,
+        "first": evaluate._first_episode_rollout,
+    }[protocol]
+    _, stats = rollout(
         params, state, policy_fn=policy_fn, num_steps=num_steps
     )
     return {k: float(v) for k, v in stats.items()}

@@ -22,6 +22,20 @@ import jax
 import orbax.checkpoint as ocp
 
 
+def _lookup_path(tree: Any, path) -> Any:
+    """Walk a restored nested-dict tree by a jax keypath."""
+    for p in path:
+        if isinstance(p, jax.tree_util.GetAttrKey):
+            tree = tree[p.name]
+        elif isinstance(p, jax.tree_util.DictKey):
+            tree = tree[p.key]
+        elif isinstance(p, (jax.tree_util.SequenceKey, jax.tree_util.FlattenedIndexKey)):
+            tree = tree[p.idx if hasattr(p, "idx") else p.key]
+        else:  # pragma: no cover
+            raise TypeError(f"unhandled keypath entry {p!r}")
+    return tree
+
+
 class Checkpointer:
     """Thin orbax wrapper with interval-based saving.
 
@@ -61,19 +75,65 @@ class Checkpointer:
     def latest_step(self) -> Optional[int]:
         return self._mngr.latest_step()
 
-    def restore(self, state_like: Any, step: Optional[int] = None) -> Any:
+    def restore(
+        self,
+        state_like: Any,
+        step: Optional[int] = None,
+        via_host: Optional[bool] = None,
+    ) -> Any:
         """Restore into the structure/shardings of ``state_like``.
 
         ``state_like`` is a state built by the trainer's ``init_*`` (same
         pytree structure and shapes; its values are discarded).
+
+        via_host (default: True on non-CPU backends): restore to host
+        numpy first and land everything on device with ONE batched
+        ``jax.device_put`` honoring ``state_like``'s shardings. Orbax's
+        direct-to-device path issues many small placements, which this
+        environment's TPU tunnel serializes pathologically (an ~800MB
+        n-tuple state took 18+ min; the batched path takes seconds —
+        measured in ``examples/eval_ntuple_tpu.py``).
         """
         step = step if step is not None else self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {self.directory}")
-        target = jax.tree.map(ocp.utils.to_shape_dtype_struct, state_like)
-        return self._mngr.restore(
-            step, args=ocp.args.StandardRestore(target)
-        )
+        if via_host is None:
+            via_host = jax.default_backend() != "cpu"
+        if not via_host:
+            target = jax.tree.map(ocp.utils.to_shape_dtype_struct, state_like)
+            return self._mngr.restore(
+                step, args=ocp.args.StandardRestore(target)
+            )
+
+        # Host restore gives the SAVED pytree (nested dicts keyed by field
+        # name); rebuild state_like's structure by path so dataclass field
+        # order vs dict key order cannot misalign leaves.
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            raw = self._mngr.restore(step)
+        flat, treedef = jax.tree_util.tree_flatten_with_path(state_like)
+        leaves, shardings = [], []
+        for path, like in flat:
+            v = _lookup_path(raw, path)
+            if jax.dtypes.issubdtype(
+                like.dtype, jax.dtypes.prng_key
+            ) and not (
+                hasattr(v, "dtype")
+                and jax.dtypes.issubdtype(v.dtype, jax.dtypes.prng_key)
+            ):
+                # Typed PRNG keys may come back as raw uint32 key data.
+                with jax.default_device(
+                    jax.local_devices(backend="cpu")[0]
+                ):
+                    v = jax.random.wrap_key_data(jax.numpy.asarray(v))
+            leaves.append(v)
+            shardings.append(
+                like.sharding
+                if isinstance(like, jax.Array)
+                else jax.local_devices()[0]
+            )
+        host_tree = jax.tree_util.tree_unflatten(treedef, leaves)
+        placements = jax.tree_util.tree_unflatten(treedef, shardings)
+        return jax.device_put(host_tree, placements)
 
     def restore_field(self, field: str, step: Optional[int] = None) -> Any:
         """Restore one top-level field (e.g. ``"params"``) of the state.

@@ -114,3 +114,31 @@ def test_search_policy_is_cached_per_config():
     v2 = evaluate._get_search_policy(1, m2, "onehot", 0.99, "log2")
     assert v1 is v2
     assert evaluate._get_search_policy(1, m1, "onehot", 0.9, "log2") is not v1
+
+
+def test_first_episode_protocol_counts_every_env_once():
+    """protocol="first": exactly num_envs episodes, no completion bias;
+    a long-enough sweep leaves nothing unfinished for random play."""
+    from rein48_tpu.agents.ntuple import TINY_2X3
+    from rein48_tpu.train.ntuple import (
+        NTupleTrainConfig, evaluate_ntuple, init_ntuple,
+    )
+
+    cfg = NTupleTrainConfig(tuples=TINY_2X3, batch_size=8)
+    state, net = init_ntuple(cfg, jax.random.key(0))
+    stats = evaluate_ntuple(
+        state.params, cfg, num_envs=32, num_steps=2048, seed=5,
+        protocol="first",
+    )
+    assert stats["episodes"] == 32.0
+    assert stats["unfinished"] == 0.0  # random-ish play dies well within 2048
+    assert 0.0 <= stats["frac_512"] <= 1.0
+    assert stats["avg_length"] > 10
+    assert stats["avg_score"] > 0
+
+    # A sweep too short to finish still scores every env (lower bound).
+    short = evaluate_ntuple(
+        state.params, cfg, num_envs=16, num_steps=8, seed=5, protocol="first",
+    )
+    assert short["episodes"] == 16.0
+    assert short["avg_tile_sum"] > 0  # live boards credited

@@ -123,6 +123,41 @@ class TestCheckpointer:
         assert loaded["reward_mode"] == "MERGE_SCORE"
         ckpt.close()
 
+    def test_restore_via_host_matches_direct(self, tmp_path):
+        """The batched host->device restore path (the TPU-tunnel fix)
+        must produce the same state as orbax's direct restore, typed
+        PRNG keys included."""
+        from rein48_tpu.train.a3c import A3CConfig, init_a3c, make_a3c_step
+
+        cfg = A3CConfig(
+            batch_size=4, unroll_len=2, model="mlp", obs_encoding="onehot"
+        )
+        state, model, opt = init_a3c(cfg, jax.random.key(0))
+        step = jax.jit(make_a3c_step(cfg, model, opt))
+        state, _ = step(state)
+        ckpt = Checkpointer(str(tmp_path / "ckpt"), save_every=1)
+        ckpt.save(1, state)
+
+        fresh, _, _ = init_a3c(cfg, jax.random.key(99))
+        direct = ckpt.restore(fresh, via_host=False)
+        hosted = ckpt.restore(fresh, via_host=True)
+        for a, b in zip(
+            jax.tree.leaves(direct), jax.tree.leaves(hosted), strict=True
+        ):
+            unkey = (
+                lambda x: jax.random.key_data(x)
+                if jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key)
+                else x
+            )
+            np.testing.assert_array_equal(
+                np.asarray(unkey(a)), np.asarray(unkey(b))
+            )
+        # And the restored state trains on identically.
+        s1, m1 = step(direct)
+        s2, m2 = step(hosted)
+        assert float(m1["loss"]) == float(m2["loss"])
+        ckpt.close()
+
     def test_latest_step_ignores_crashed_tmp_checkpoint(self, tmp_path):
         """A crash mid-save leaves `N.orbax-checkpoint-tmp`; resume must
         restore the last GOOD step, not the garbage (VERDICT r2: a stale
