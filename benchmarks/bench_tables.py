@@ -138,6 +138,54 @@ def mean_scratch(table, idx, vals):
     return jnp.sum(table.at[idx].add(d, mode="drop")[:8])
 
 
+N_SMALL = 16**4  # 4-cell-tuple table: the ops/tables.py MXU regime
+
+
+@jax.jit
+def g0_small(table, idx):
+    return jnp.sum(table[idx])
+
+
+@jax.jit
+def s0_small(table, idx, vals):
+    return jnp.sum(table.at[idx].add(vals)[:8])
+
+
+@jax.jit
+def mxu_gather_sum(table, idx):
+    from rein48_tpu.ops import tables as table_ops
+
+    return jnp.sum(table_ops.mxu_gather(table, idx))
+
+
+@jax.jit
+def mxu_scatter_sum_head(idx, vals):
+    from rein48_tpu.ops import tables as table_ops
+
+    return jnp.sum(table_ops.mxu_scatter_sum(N_SMALL, idx, vals)[:8])
+
+
+@jax.jit
+def mxu_stats_head(idx, vals):
+    from rein48_tpu.ops import tables as table_ops
+
+    e, a, h = table_ops.mxu_scatter_stats(N_SMALL, idx, vals)
+    return jnp.sum(e[:8]) + jnp.sum(a[:8]) + jnp.sum(h[:8])
+
+
+@jax.jit
+def mean_small_sorted(table, idx, vals):
+    order = jnp.argsort(idx)
+    s_ids = idx[order]
+    s_d = vals[order]
+    first = jnp.concatenate([jnp.ones((1,), bool), s_ids[1:] != s_ids[:-1]])
+    seg = jnp.cumsum(first) - 1
+    live = (s_d != 0.0).astype(s_d.dtype)
+    counts = jnp.zeros(idx.shape, s_d.dtype).at[seg].add(live)
+    d = s_d / jnp.maximum(counts[seg], 1.0)
+    return jnp.sum(table.at[s_ids].add(d, mode="drop")[:8])
+
+
 def main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     key = jax.random.key(0)
@@ -156,6 +204,16 @@ def main():
     timeit("sort only (argsort 160k)", sort_only, idx)
     timeit("mean via argsort+segments", mean_sorted, table, idx, vals)
     timeit("mean via scratch+gatherback", mean_scratch, table, idx, vals)
+
+    # --- small-table (65536) regime: XLA serial loop vs MXU kernels ---
+    table_s = jnp.zeros((N_SMALL,), jnp.float32) + 1.0
+    idx_s = jax.random.randint(key, (N_IDX,), 0, N_SMALL, dtype=jnp.int32)
+    timeit("small g0 fancy-index", g0_small, table_s, idx_s)
+    timeit("small s0 scatter-add", s0_small, table_s, idx_s, vals)
+    timeit("small mean argsort+segments", mean_small_sorted, table_s, idx_s, vals)
+    timeit("small MXU gather", mxu_gather_sum, table_s, idx_s)
+    timeit("small MXU scatter-sum", mxu_scatter_sum_head, idx_s, vals)
+    timeit("small MXU scatter-stats(3x)", mxu_stats_head, idx_s, vals)
 
 
 if __name__ == "__main__":

@@ -96,11 +96,18 @@ class NTupleConfig:
         optimistic_init: initial table value. Positive values make the
             greedy policy explore (every untried configuration looks
             good); 0 is the classic default.
+        backend: table gather/scatter implementation. "xla" = plain
+            fancy-index/scatter (works at any size; serial ~47M elem/s
+            on TPU). "mxu" = the one-hot matmul reformulation of
+            ``ops/tables.py`` — MXU-speed for tables up to 65536
+            entries (<= 4-cell tuples); identical math, different
+            lowering.
     """
 
     tuples: Tuple[Tuple[int, ...], ...] = YEH_4X6
     symmetric: bool = True
     optimistic_init: float = 0.0
+    backend: str = "xla"
 
     @property
     def num_lookups(self) -> int:
@@ -138,6 +145,18 @@ class NTupleNetwork:
             int(BASE ** len(t)) for t in config.tuples
         )
         self.num_lookups = config.num_lookups
+        if config.backend not in ("xla", "mxu"):
+            raise ValueError(f"unknown table backend '{config.backend}'")
+        if config.backend == "mxu":
+            from rein48_tpu.ops import tables as table_ops
+
+            bad = [s for s in self.table_sizes if not table_ops.supports_mxu(s)]
+            if bad:
+                raise ValueError(
+                    f"backend='mxu' supports tables <= {table_ops.MXU_TABLE_MAX} "
+                    f"entries; got {bad} (use backend='xla' for big tuples)"
+                )
+        self._mxu = config.backend == "mxu"
 
     def init(self) -> Dict[str, jax.Array]:
         """Zero (or optimistic) tables: ``{"t0": f32[16^k0], ...}``."""
@@ -162,11 +181,34 @@ class NTupleNetwork:
             out.append(jnp.sum(digits * jnp.asarray(weights), axis=-1))
         return tuple(out)
 
+    def _gather(self, table: jax.Array, idx: jax.Array) -> jax.Array:
+        if self._mxu:
+            from rein48_tpu.ops import tables as table_ops
+
+            return table_ops.mxu_gather(table, idx)
+        return table[idx]
+
+    def _stats(self, size: int, ids: jax.Array, d: jax.Array):
+        """Dense ``(err_sum, abs_sum, hits)`` over one table.
+
+        hits counts nonzero deltas only (masked backups arrive as exact
+        zeros and must not dilute means or move TC accumulators).
+        """
+        if self._mxu:
+            from rein48_tpu.ops import tables as table_ops
+
+            return table_ops.mxu_scatter_stats(size, ids, d)
+        live = (d != 0.0).astype(jnp.float32)
+        err_sum = jnp.zeros((size,), jnp.float32).at[ids].add(d)
+        abs_sum = jnp.zeros((size,), jnp.float32).at[ids].add(jnp.abs(d))
+        hits = jnp.zeros((size,), jnp.float32).at[ids].add(live)
+        return err_sum, abs_sum, hits
+
     def value(self, params: Dict[str, jax.Array], boards: jax.Array) -> jax.Array:
         """V(board) = sum of all table lookups, ``float32[...]``."""
         total = None
         for i, idx in enumerate(self.indices(boards)):
-            v = jnp.sum(params[f"t{i}"][idx], axis=-1)
+            v = jnp.sum(self._gather(params[f"t{i}"], idx), axis=-1)
             total = v if total is None else total + v
         return total
 
@@ -205,6 +247,23 @@ class NTupleNetwork:
         for i, idx in enumerate(self.indices(boards)):
             ids = idx.reshape(-1)
             d = jnp.broadcast_to(delta[..., None], idx.shape).reshape(-1)
+            if self._mxu:
+                # Dense MXU path: identical math, no sort/scatter loop.
+                size = params[f"t{i}"].shape[0]
+                if collision == "mean":
+                    err_sum, _, hits = self._stats(size, ids, d)
+                    new[f"t{i}"] = params[f"t{i}"] + err_sum / jnp.maximum(
+                        hits, 1.0
+                    )
+                elif collision == "sum":
+                    from rein48_tpu.ops import tables as table_ops
+
+                    new[f"t{i}"] = params[f"t{i}"] + table_ops.mxu_scatter_sum(
+                        size, ids, d
+                    )
+                else:  # pragma: no cover
+                    raise ValueError(f"unknown collision mode '{collision}'")
+                continue
             if collision == "mean":
                 # Sort by entry; divide each element's delta by the size
                 # of its run of equal indices, so the scatter-add below
@@ -266,6 +325,23 @@ class NTupleNetwork:
         for i, idx in enumerate(self.indices(boards)):
             ids = idx.reshape(-1)
             d = jnp.broadcast_to(err[..., None], idx.shape).reshape(-1)
+            if self._mxu:
+                # Dense MXU path: per-entry mean error + TC modulation as
+                # elementwise table passes; same math as the sorted path.
+                size = params[f"t{i}"].shape[0]
+                err_sum, _, hits = self._stats(size, ids, d)
+                mean_d = err_sum / jnp.maximum(hits, 1.0)
+                e_acc = params[f"t{i}_E"]
+                a_acc = params[f"t{i}_A"]
+                beta = jnp.where(
+                    a_acc > 0.0,
+                    jnp.abs(e_acc) / jnp.maximum(a_acc, 1e-30),
+                    1.0,
+                )
+                new[f"t{i}"] = params[f"t{i}"] + scale * beta * mean_d
+                new[f"t{i}_E"] = e_acc + mean_d
+                new[f"t{i}_A"] = a_acc + jnp.abs(mean_d)
+                continue
             order = jnp.argsort(ids)
             s_ids = ids[order]
             s_d = d[order]
@@ -330,18 +406,14 @@ class NTupleNetwork:
         HBM traffic paid once per window instead of O(N log N) sort work
         per step.
         """
-        live = (err != 0.0).astype(jnp.float32)
         new = dict(params)
         for i, idx in enumerate(self.indices(boards)):
             ids = idx.reshape(-1)
             d = jnp.broadcast_to(err[..., None], idx.shape).reshape(-1)
-            lv = jnp.broadcast_to(live[..., None], idx.shape).reshape(-1)
             n = params[f"t{i}"].shape[0]
             # Masked backups carry exact-0 errors: they cancel out of the
-            # sum and are excluded from the count.
-            err_sum = jnp.zeros((n,), jnp.float32).at[ids].add(d)
-            abs_sum = jnp.zeros((n,), jnp.float32).at[ids].add(jnp.abs(d))
-            hits = jnp.zeros((n,), jnp.float32).at[ids].add(lv)
+            # sum and are excluded from the count (_stats).
+            err_sum, abs_sum, hits = self._stats(n, ids, d)
             mean_d = err_sum / jnp.maximum(hits, 1.0)
             if tc:
                 e_acc = params[f"t{i}_E"]

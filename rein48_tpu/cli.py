@@ -150,6 +150,7 @@ def _cmd_train(args: argparse.Namespace) -> int:
             steps_per_update=args.unroll,
             update_mode=args.update_mode,
             delay_window=args.delay_window or None,
+            table_backend=args.table_backend,
             **kwargs,
         )
         _, history = train_ntuple(

@@ -88,12 +88,31 @@ class NTupleTrainConfig:
     # tables for the whole update (the round-1 behavior; measured ~4x
     # less sample-efficient at steps_per_update=128 than per-step TD).
     delay_window: int | None = 16
+    # Table gather/scatter lowering: "xla" (any size), "mxu" (one-hot
+    # matmul kernels, tables <= 65536 entries — see ops/tables.py), or
+    # "auto" (mxu whenever every table qualifies and we're not on the
+    # CPU interpreter).
+    table_backend: str = "auto"
 
     def network_config(self) -> ntuple_lib.NTupleConfig:
+        backend = self.table_backend
+        if backend == "auto":
+            from rein48_tpu.ops import tables as table_ops
+
+            small = all(
+                table_ops.supports_mxu(ntuple_lib.BASE ** len(t))
+                for t in self.tuples
+            )
+            backend = (
+                "mxu"
+                if small and jax.default_backend() != "cpu"
+                else "xla"
+            )
         return ntuple_lib.NTupleConfig(
             tuples=tuple(tuple(int(c) for c in t) for t in self.tuples),
             symmetric=self.symmetric,
             optimistic_init=self.optimistic_init,
+            backend=backend,
         )
 
 

@@ -517,3 +517,101 @@ class TestTemporalCoherence:
         for _ in range(5):
             state, m = step(state)
         assert np.isfinite(float(m["td_abs_err"]))
+
+
+class TestMXUBackend:
+    """The ops/tables.py one-hot-matmul lowering must be numerically
+    equivalent to the XLA scatter path (run here via the Mosaic
+    interpreter on CPU; the TPU speed claim lives in
+    benchmarks/bench_tables.py)."""
+
+    def _nets(self, tuples=TINY_2X3):
+        xla = NTupleNetwork(NTupleConfig(tuples=tuples, backend="xla"))
+        mxu = NTupleNetwork(NTupleConfig(tuples=tuples, backend="mxu"))
+        return xla, mxu
+
+    def _assert_params_close(self, a, b):
+        assert sorted(a) == sorted(b)
+        for k in a:
+            np.testing.assert_allclose(
+                np.asarray(a[k]), np.asarray(b[k]), rtol=1e-5, atol=1e-6
+            )
+
+    def test_value_matches(self):
+        xla, mxu = self._nets()
+        boards = _random_boards(jax.random.key(0), 64)
+        params = {
+            k: jax.random.normal(jax.random.key(i), v.shape)
+            for i, (k, v) in enumerate(sorted(xla.init().items()))
+        }
+        np.testing.assert_allclose(
+            np.asarray(xla.value(params, boards)),
+            np.asarray(mxu.value(params, boards)),
+            rtol=1e-5,
+        )
+
+    def test_td_apply_matches_both_collision_modes(self):
+        xla, mxu = self._nets()
+        boards = _random_boards(jax.random.key(1), 32)
+        err = jax.random.normal(jax.random.key(2), (32,))
+        err = err.at[::5].set(0.0)  # masked backups
+        for collision in ("mean", "sum"):
+            a = xla.td_apply(xla.init(), boards, err, 0.3, collision=collision)
+            b = mxu.td_apply(mxu.init(), boards, err, 0.3, collision=collision)
+            self._assert_params_close(a, b)
+
+    def test_td_apply_tc_matches(self):
+        xla, mxu = self._nets()
+        boards = _random_boards(jax.random.key(3), 32)
+        err = jax.random.normal(jax.random.key(4), (32,))
+        a, b = xla.init_tc(), mxu.init_tc()
+        for step in range(3):  # accumulators evolve across steps
+            a = xla.td_apply_tc(a, boards, err + step, 0.5)
+            b = mxu.td_apply_tc(b, boards, err + step, 0.5)
+        self._assert_params_close(a, b)
+
+    def test_td_apply_delayed_matches(self):
+        xla, mxu = self._nets()
+        boards = _random_boards(jax.random.key(5), 48)
+        err = jax.random.normal(jax.random.key(6), (48,))
+        err = err.at[::3].set(0.0)
+        for tc in (False, True):
+            pa = xla.init_tc() if tc else xla.init()
+            pb = mxu.init_tc() if tc else mxu.init()
+            a = xla.td_apply_delayed(pa, boards, err, 0.4, tc=tc)
+            b = mxu.td_apply_delayed(pb, boards, err, 0.4, tc=tc)
+            self._assert_params_close(a, b)
+
+    def test_big_tables_rejected(self):
+        with pytest.raises(ValueError, match="mxu"):
+            NTupleNetwork(NTupleConfig(tuples=((0, 1, 2, 3, 4, 5),), backend="mxu"))
+
+    def test_trainer_learns_with_mxu_backend(self):
+        cfg = NTupleTrainConfig(
+            batch_size=64,
+            steps_per_update=16,
+            tuples=TINY_2X3,
+            table_backend="mxu",
+            update_mode="delayed",
+            delay_window=4,
+        )
+        state, net = init_ntuple(cfg, jax.random.key(0))
+        base = evaluate_ntuple(
+            state.params, cfg, num_envs=64, num_steps=400, seed=9
+        )
+        step = jax.jit(make_ntuple_step(cfg))
+        for _ in range(150):
+            state, m = step(state)
+        trained = evaluate_ntuple(
+            state.params, cfg, num_envs=64, num_steps=400, seed=9
+        )
+        assert trained["avg_score"] > base["avg_score"] * 1.3, (
+            base["avg_score"], trained["avg_score"],
+        )
+
+    def test_auto_backend_resolution(self):
+        small = NTupleTrainConfig(tuples=TINY_2X3, table_backend="auto")
+        big = NTupleTrainConfig(table_backend="auto")  # 6-cell flagship
+        # On CPU auto resolves to xla either way; big tuples always xla.
+        assert big.network_config().backend == "xla"
+        assert small.network_config().backend in ("xla", "mxu")
