@@ -477,6 +477,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="--update-mode delayed: env steps per frozen-table window "
         "(must divide --unroll; 0 = whole update)",
     )
+    pt.add_argument(
+        "--table-backend", choices=("auto", "xla", "mxu"), default="auto",
+        help="--algo ntuple: table op lowering; mxu = one-hot matmul "
+        "kernels (ops/tables.py), tables <= 65536 entries only",
+    )
     pt.add_argument("--seed", type=int, default=0)
     pt.add_argument("--mesh", action="store_true", help="shard over all devices")
     pt.add_argument("--parity", action="store_true", help="reference-parity regime")
