@@ -70,6 +70,25 @@ def _eval_rollout(params, start_state, key, *, apply_fn, obs_encoding, num_steps
     return final, _episode_stats(outs)
 
 
+@functools.lru_cache(maxsize=32)
+def _greedy_policy_fn(model, obs_encoding):
+    """Cached greedy masked policy for the first-episode protocol (the
+    cache keeps ``policy_fn`` identical across calls, so the jitted
+    rollout is compiled once per (model, encoding) — TPU compiles here
+    take minutes)."""
+
+    def policy_fn(params, boards):
+        obs = common.encode_obs(boards, obs_encoding)
+        out = model.apply({"params": params}, obs)
+        logits = out[0] if isinstance(out, tuple) else out
+        masked = a3c_agent.masked_logits(
+            logits, core.legal_action_mask(boards)
+        )
+        return jnp.argmax(masked, axis=-1)
+
+    return policy_fn
+
+
 def evaluate_policy(
     params: Any,
     model: Any,
@@ -79,9 +98,29 @@ def evaluate_policy(
     num_steps: int = 4096,
     seed: int = 0,
     greedy: bool = True,
+    protocol: str = "window",
 ) -> Dict[str, float]:
     """Play ``num_envs`` games for ``num_steps`` lockstep steps; aggregate
-    completed-episode statistics. Greedy = argmax over legal actions."""
+    completed-episode statistics. Greedy = argmax over legal actions.
+
+    protocol="first" scores exactly ``num_envs`` first episodes with no
+    completion-length bias (see :func:`_first_episode_rollout`); greedy
+    only. "window" (default) keeps the completed-episode sweep.
+    """
+    key = jax.random.key(seed)
+    k_env, k_roll = jax.random.split(key)
+    state = vector.reset_batch(k_env, num_envs)
+
+    if protocol == "first":
+        if not greedy:
+            raise ValueError("protocol='first' supports greedy eval only")
+        _, stats = _first_episode_rollout(
+            params,
+            state,
+            policy_fn=_greedy_policy_fn(model, obs_encoding),
+            num_steps=num_steps,
+        )
+        return {k: float(v) for k, v in stats.items()}
 
     def apply_fn(p, obs):
         out = model.apply({"params": p}, obs)
@@ -91,9 +130,6 @@ def evaluate_policy(
         # q-values; the value channel is unused by the rollout.
         return out, jnp.zeros(out.shape[:-1], out.dtype)
 
-    key = jax.random.key(seed)
-    k_env, k_roll = jax.random.split(key)
-    state = vector.reset_batch(k_env, num_envs)
     _, stats = _eval_rollout(
         params,
         state,
