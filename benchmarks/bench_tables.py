@@ -42,7 +42,11 @@ Conclusions baked into the framework design:
   v5e). The 4x6 network's 4x67MB tables rule that out on this chip.
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -45,9 +45,10 @@ config = NTupleTrainConfig(
 )
 
 logger = MetricLogger(log_dir="runs/ntuple_tpu")
-# Saves (device->host) cost ~25-40s for the ~800MB state; every 200
-# updates keeps the overhead ~10% while bounding crash loss to ~5 min.
-ckpt = Checkpointer("ckpt/ntuple_tpu", save_every=200, max_to_keep=2)
+# Saves (device->host) cost ~25-40s for the ~800MB state; every 500
+# updates keeps the overhead <10% at B=1024 while bounding crash loss
+# to ~6 min.
+ckpt = Checkpointer("ckpt/ntuple_tpu", save_every=500, max_to_keep=2)
 state, history = train_ntuple(
     config,
     num_updates=NUM_UPDATES,

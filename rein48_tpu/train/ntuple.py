@@ -87,7 +87,14 @@ class NTupleTrainConfig:
     # than once per update. Must divide steps_per_update. None freezes
     # tables for the whole update (the round-1 behavior; measured ~4x
     # less sample-efficient at steps_per_update=128 than per-step TD).
-    delay_window: int | None = 16
+    # Default 4: the equal-wall-clock frontier on a v5e chip
+    # (benchmarks/frontier_r3.json — 7 min/leg, 4x6 network, B=1024,
+    # first-episode eval) measured avg_score 61.4k/75.2k/69.5k/32.9k and
+    # frac_2048 0.887/0.947/0.934/0.773 for step/delayed-4/16/64 —
+    # window 4 beats BOTH classic per-step TD (2x throughput more than
+    # pays for the windowing) and longer windows (whose extra throughput
+    # does not cover their sample-efficiency loss).
+    delay_window: int | None = 4
     # Table gather/scatter lowering: "xla" (any size), "mxu" (one-hot
     # matmul kernels, tables <= 65536 entries — see ops/tables.py), or
     # "auto" (mxu whenever every table qualifies and we're not on the
