@@ -33,9 +33,12 @@ Conclusions baked into the framework design:
   previous afterstate, 32 symmetry images each), so ~300k env-steps/s
   is the hard XLA ceiling for ANY update mode at any batch size; the
   per-step collision-mean apply puts step mode at ~100k. This is why
-  ``update_mode="delayed"`` exists (it amortizes the apply but pays
-  ~3x capability-per-step — measured in tests/test_ntuple.py's regime;
-  per-step TD at B~1k wins capability per wall-clock).
+  ``update_mode="delayed"`` exists. The equal-wall-clock frontier on
+  the real chip (benchmarks/frontier_r3.json, round 3) showed
+  delayed/window-4 beats per-step TD on BOTH throughput (206k vs 102k
+  steps/s) and capability (frac_2048 0.947 vs 0.887 at 420s) — the
+  earlier note here that per-step TD wins per wall-clock was a
+  CPU-regime extrapolation and is refuted on TPU.
 * Beating the wall needs a Mosaic/Pallas kernel doing scalar-core VMEM
   gathers, which requires tables small enough to stay VMEM-resident
   (e.g. 5-cell tuples at 4MB/table), or SparseCore hardware (not on

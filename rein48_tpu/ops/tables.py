@@ -19,14 +19,27 @@ factor each index as ``idx = hi * C + lo`` with the table reshaped
   ``[R, N] x [N, C]`` matmul lands a whole batch of updates as a dense
   ``[R, C]`` delta.
 
-Both are exact (one-hot rows select values; f32 accumulation), and both
-run at MXU speed: for a 65536-entry table (4-cell tuples) the matmul
-costs ``N * 65536 * 2`` FLOPs — ~0.4ms for N=160k on a v5e vs ~3.5ms for
-the serial gather loop, with the one-hots generated on the fly in VMEM
-by the Pallas kernels below (never materialized to HBM).
+Two TPU-specific tricks make this fast rather than merely cute:
 
-Scaling limit: FLOPs grow linearly with table size, so the win holds for
-tables up to 16^4 = 65536 entries (4-cell tuples, 256KB — e.g. the
+1. **Exact bf16 limb decomposition.** The MXU runs bf16 matmuls several
+   times faster than f32, but value tables need f32. Any f32 ``v``
+   splits EXACTLY into three bf16 limbs ``v = l1 + l2 + l3``
+   (``l1 = bf16(v)``, ``l2 = bf16(v - l1)``, ``l3 = v - l1 - l2``; each
+   subtraction is exact by Sterbenz's lemma and the final residual has
+   <= 8 significant bits left, so it IS a bf16). One-hot rows are 0/1 —
+   exactly bf16 — so ``onehot @ [l1 | l2 | l3]`` reconstructs the f32
+   gather bit-exactly from pure-bf16 matmuls, and the scatter applies
+   the same split to the update values. f32 results at bf16 MXU rate.
+2. **One grid step, inner loop.** The naive grid (one 1024-index block
+   per step) spends more time in per-step pipeline overhead than in the
+   MXU — measured 3.1ms where the matmul floor is ~0.3ms. Instead each
+   grid step owns a super-chunk and a ``fori_loop`` sweeps it in
+   ``_CHUNK``-index tiles, so the fixed cost amortizes over 32x more
+   work and the one-hots still never exceed a few MB of VMEM (they are
+   built on the fly by iota-compare and never touch HBM).
+
+Scaling limit: FLOPs grow linearly with table size, so the win holds
+for tables up to 16^4 = 65536 entries (4-cell tuples, 256KB — e.g. the
 ``SJ_2X4`` network); at 16^5 the matmul already costs as much as the
 serial loop and at the flagship 16^6 it is hopeless — those networks
 keep the XLA scatter path (see ``agents/ntuple.py`` ``backend`` flag).
@@ -48,7 +61,8 @@ from jax.experimental.pallas import tpu as pltpu
 # Largest table the MXU reformulation beats the serial-gather loop for.
 MXU_TABLE_MAX = 1 << 16
 
-_CHUNK = 1024  # index elements per grid step (VMEM one-hot: [1024, R] f32)
+_CHUNK = 2048  # index elements per inner-loop tile
+_MAX_INNER = 32  # inner-loop tiles per grid step (super-chunk = 64k idx)
 
 
 def supports_mxu(table_size: int) -> bool:
@@ -68,20 +82,42 @@ def _use_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def _onehot_eq(idx: jax.Array, width: int, axis_len: int) -> jax.Array:
-    """``f32[len(idx), width]`` one-hot built by iota-compare (VPU)."""
-    cols = jax.lax.broadcasted_iota(jnp.int32, (axis_len, width), 1)
-    return (cols == idx[:, None]).astype(jnp.float32)
+def _split3(v: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Exact 3-limb bf16 decomposition of f32 ``v`` (l1 + l2 + l3 == v)."""
+    l1 = v.astype(jnp.bfloat16)
+    r1 = v - l1.astype(jnp.float32)
+    l2 = r1.astype(jnp.bfloat16)
+    l3 = (r1 - l2.astype(jnp.float32)).astype(jnp.bfloat16)
+    return l1, l2, l3
 
 
-def _gather_kernel(idx_ref, table_ref, out_ref, *, R, C):
-    idx = idx_ref[:]
-    hi = idx >> jnp.int32(C.bit_length() - 1)
-    lo = idx & jnp.int32(C - 1)
-    oh_hi = _onehot_eq(hi, R, _CHUNK)
-    rows = jnp.dot(oh_hi, table_ref[:], preferred_element_type=jnp.float32)
-    sel = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, C), 1) == lo[:, None]
-    out_ref[:] = jnp.sum(jnp.where(sel, rows, 0.0), axis=1)
+def _tiles(n: int) -> Tuple[int, int, int]:
+    """(grid, inner, padded_n) for an index stream of length ``n``."""
+    n_tiles = max(1, -(-n // _CHUNK))
+    inner = min(_MAX_INNER, n_tiles)
+    grid = -(-n_tiles // inner)
+    return grid, inner, grid * inner * _CHUNK
+
+
+def _gather_kernel(idx_ref, table_ref, out_ref, *, R, C, inner):
+    shift = jnp.int32(C.bit_length() - 1)
+    mask = jnp.int32(C - 1)
+    # Limb-split the f32 table once per grid step; [R, 3C] bf16.
+    limbs = jnp.concatenate(_split3(table_ref[:]), axis=1)
+
+    def body(i, _):
+        idx = idx_ref[i, :]
+        hi = idx >> shift
+        lo = idx & mask
+        cols = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, R), 1)
+        oh = (cols == hi[:, None]).astype(jnp.bfloat16)
+        rows3 = jnp.dot(oh, limbs, preferred_element_type=jnp.float32)
+        rows = rows3[:, :C] + rows3[:, C : 2 * C] + rows3[:, 2 * C :]
+        sel = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, C), 1) == lo[:, None]
+        out_ref[i, :] = jnp.sum(jnp.where(sel, rows, 0.0), axis=1)
+        return 0
+
+    jax.lax.fori_loop(0, inner, body, 0, unroll=False)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -89,84 +125,104 @@ def _mxu_gather_flat(table, idx, interpret):
     S = table.shape[0]
     R, C = _factor(S)
     n = idx.shape[0]
-    n_pad = -n % _CHUNK
-    idx_p = jnp.pad(idx, (0, n_pad))
-    grid = (idx_p.shape[0] // _CHUNK,)
+    grid, inner, n_pad = _tiles(n)
+    idx_p = jnp.pad(idx, (0, n_pad - n)).reshape(-1, _CHUNK)
     out = pl.pallas_call(
-        functools.partial(_gather_kernel, R=R, C=C),
-        out_shape=jax.ShapeDtypeStruct((idx_p.shape[0],), jnp.float32),
-        grid=grid,
+        functools.partial(_gather_kernel, R=R, C=C, inner=inner),
+        out_shape=jax.ShapeDtypeStruct(idx_p.shape, jnp.float32),
+        grid=(grid,),
         in_specs=[
-            pl.BlockSpec((_CHUNK,), lambda i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (inner, _CHUNK), lambda g: (g, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((R, C), lambda g: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (_CHUNK,), lambda i: (i,), memory_space=pltpu.VMEM
+            (inner, _CHUNK), lambda g: (g, 0), memory_space=pltpu.VMEM
         ),
         interpret=pltpu.InterpretParams() if interpret else False,
     )(idx_p, table.reshape(R, C))
-    return out[:n]
+    return out.reshape(-1)[:n]
 
 
 def mxu_gather(table: jax.Array, idx: jax.Array) -> jax.Array:
-    """``table[idx]`` for f32 ``table[S]`` (S <= 65536), any idx shape."""
+    """``table[idx]`` for f32 ``table[S]`` (S <= 65536), any idx shape.
+
+    Bit-exact vs the XLA gather: the bf16 limb matmuls reconstruct the
+    f32 values with no rounding (one nonzero per one-hot row, f32
+    accumulation).
+    """
     flat = idx.reshape(-1).astype(jnp.int32)
     return _mxu_gather_flat(
         table, flat, interpret=_use_interpret()
     ).reshape(idx.shape)
 
 
-def _scatter_kernel(idx_ref, val_ref, out_ref, *, R, C, stats):
+def _scatter_kernel(idx_ref, val_ref, out_ref, *, R, C, inner, stats):
+    shift = jnp.int32(C.bit_length() - 1)
+    mask = jnp.int32(C - 1)
+
     @pl.when(pl.program_id(0) == 0)
     def _zero():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    idx = idx_ref[:]
-    v = val_ref[:]
-    hi = idx >> jnp.int32(C.bit_length() - 1)
-    lo = idx & jnp.int32(C - 1)
-    # Transposed hi one-hot, built directly (no relayout): [R, CHUNK].
-    rows = jax.lax.broadcasted_iota(jnp.int32, (R, _CHUNK), 0)
-    oh_hi_t = (rows == hi[None, :]).astype(jnp.float32)
-    oh_lo = _onehot_eq(lo, C, _CHUNK)
-    if stats:
-        live = (v != 0.0).astype(jnp.float32)
+    def body(i, _):
+        idx = idx_ref[i, :]
+        v = val_ref[i, :]
+        hi = idx >> shift
+        lo = idx & mask
+        rows = jax.lax.broadcasted_iota(jnp.int32, (R, _CHUNK), 0)
+        oh_hi_t = (rows == hi[None, :]).astype(jnp.bfloat16)
+        oh_lo = (
+            jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, C), 1)
+            == lo[:, None]
+        ).astype(jnp.bfloat16)
+        # Channel values, each limb-split to bf16 so the matmul runs at
+        # MXU bf16 rate yet accumulates the exact f32 contributions.
+        chans = _split3(v)
+        if stats:
+            chans = chans + _split3(jnp.abs(v)) + (
+                (v != 0.0).astype(jnp.bfloat16),
+            )
         rhs = jnp.concatenate(
-            [
-                v[:, None] * oh_lo,
-                jnp.abs(v)[:, None] * oh_lo,
-                live[:, None] * oh_lo,
-            ],
-            axis=1,
-        )  # [CHUNK, 3C]
-    else:
-        rhs = v[:, None] * oh_lo
-    out_ref[:] += jnp.dot(oh_hi_t, rhs, preferred_element_type=jnp.float32)
+            [c[:, None] * oh_lo for c in chans], axis=1
+        )  # [_CHUNK, len(chans)*C] bf16; limb * 1.0 is exact
+        out_ref[:] += jnp.dot(
+            oh_hi_t, rhs, preferred_element_type=jnp.float32
+        )
+        return 0
+
+    jax.lax.fori_loop(0, inner, body, 0, unroll=False)
 
 
 @functools.partial(jax.jit, static_argnames=("size", "stats", "interpret"))
 def _mxu_scatter_flat(idx, vals, size, stats, interpret):
     R, C = _factor(size)
     n = idx.shape[0]
-    n_pad = -n % _CHUNK
-    # Padding contributes nothing: vals pad with 0 -> zero delta, zero
-    # |delta|, and live=0 excludes them from the hit count.
-    idx_p = jnp.pad(idx, (0, n_pad))
-    vals_p = jnp.pad(vals, (0, n_pad))
-    grid = (idx_p.shape[0] // _CHUNK,)
-    width = 3 * C if stats else C
+    grid, inner, n_pad = _tiles(n)
+    # Padding contributes nothing: vals pad with 0 -> zero limbs, zero
+    # |v| limbs, and live=0 excludes them from the hit count.
+    idx_p = jnp.pad(idx, (0, n_pad - n)).reshape(-1, _CHUNK)
+    vals_p = jnp.pad(vals, (0, n_pad - n)).reshape(-1, _CHUNK)
+    n_chan = 7 if stats else 3
     out = pl.pallas_call(
-        functools.partial(_scatter_kernel, R=R, C=C, stats=stats),
-        out_shape=jax.ShapeDtypeStruct((R, width), jnp.float32),
-        grid=grid,
+        functools.partial(
+            _scatter_kernel, R=R, C=C, inner=inner, stats=stats
+        ),
+        out_shape=jax.ShapeDtypeStruct((R, n_chan * C), jnp.float32),
+        grid=(grid,),
         in_specs=[
-            pl.BlockSpec((_CHUNK,), lambda i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_CHUNK,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (inner, _CHUNK), lambda g: (g, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (inner, _CHUNK), lambda g: (g, 0), memory_space=pltpu.VMEM
+            ),
         ],
-        # Same [R, width] block every grid step: it stays VMEM-resident
+        # Same [R, n_chan*C] block every grid step: it stays VMEM-resident
         # and accumulates across the sequential TPU grid.
         out_specs=pl.BlockSpec(
-            (R, width), lambda i: (0, 0), memory_space=pltpu.VMEM
+            (R, n_chan * C), lambda g: (0, 0), memory_space=pltpu.VMEM
         ),
         interpret=pltpu.InterpretParams() if interpret else False,
     )(idx_p, vals_p)
@@ -175,6 +231,7 @@ def _mxu_scatter_flat(idx, vals, size, stats, interpret):
 
 def mxu_scatter_sum(size: int, idx: jax.Array, vals: jax.Array) -> jax.Array:
     """Dense ``f32[size]`` holding ``sum of vals`` scattered at ``idx``."""
+    R, C = _factor(size)
     out = _mxu_scatter_flat(
         idx.reshape(-1).astype(jnp.int32),
         vals.reshape(-1).astype(jnp.float32),
@@ -182,7 +239,10 @@ def mxu_scatter_sum(size: int, idx: jax.Array, vals: jax.Array) -> jax.Array:
         stats=False,
         interpret=_use_interpret(),
     )
-    return out.reshape(size)
+    # Fold the three value limbs back into the f32 sum.
+    return (
+        out[:, :C] + out[:, C : 2 * C] + out[:, 2 * C :]
+    ).reshape(size)
 
 
 def mxu_scatter_stats(
@@ -203,8 +263,11 @@ def mxu_scatter_stats(
         stats=True,
         interpret=_use_interpret(),
     )
+    groups = [
+        out[:, k * C : (k + 1) * C].reshape(size) for k in range(7)
+    ]
     return (
-        out[:, :C].reshape(size),
-        out[:, C : 2 * C].reshape(size),
-        out[:, 2 * C :].reshape(size),
+        groups[0] + groups[1] + groups[2],
+        groups[3] + groups[4] + groups[5],
+        groups[6],
     )
