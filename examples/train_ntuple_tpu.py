@@ -59,18 +59,17 @@ state, history = train_ntuple(
 )
 ckpt.save(int(state.update_step), state)
 
-# Evaluate IN-PROCESS with the live device params: checkpoint restore
-# onto the TPU is impractical here (host->device over the axon tunnel
-# crawls; a scalar fetch after restoring the 800MB state blocked >18
-# min), so everything that needs the tables on-device happens in this
-# process while they are already there.
+# Quick in-process capability check with the live device params. The
+# authoritative eval artifact (depth sweep + timed 805MB restore — 10.7s
+# through Checkpointer.restore's batched host->device path) is written
+# by examples/eval_ntuple_tpu.py from the saved checkpoint.
 import json
 
 results = {}
-for depth, envs, steps in ((0, 1024, 8192), (1, 256, 8192)):
+for depth, envs, steps in ((0, 1024, 16384), (1, 256, 16384)):
     stats = evaluate_ntuple(
         state.params, config, depth=depth, num_envs=envs, num_steps=steps,
-        seed=123 + depth,
+        seed=123 + depth, protocol="first",
     )
     results[f"depth{depth}"] = stats
     print(f"EVAL depth{depth} (envs={envs}, steps={steps}):", stats,
