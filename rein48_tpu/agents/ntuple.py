@@ -435,16 +435,33 @@ class NTupleNetwork:
                 new[f"t{i}_A"] = a_acc + abs_sum
         return new
 
-    def make_leaf(self, params):
+    def make_leaf(self, params, max_batch: int = 16384):
         """Expectimax leaf evaluator (``control/search.py``).
 
         N-tuple values are trained on PRE-spawn afterstates — exactly the
         planner's leaf domain — so unlike an actor-critic's post-spawn
         value head (see ``make_expectimax_policy``'s approximation notes)
         this composition is unit-exact.
+
+        ``max_batch`` chunks the leaf sweep with ``lax.map``: a depth-1
+        tree over B root boards evaluates 128*B leaves in one call
+        (B=256 -> 131k boards -> a 4.2M-element table gather), and a
+        single gather that size crashed the v5e TPU worker outright
+        (round 3; the 160k-element training gathers are fine). Chunking
+        caps each gather at ``32 * max_batch`` elements and costs
+        nothing measurable at eval scale.
         """
 
         def leaf(boards: jax.Array) -> jax.Array:
-            return self.value(params, boards)
+            lead = boards.shape[:-2]
+            flat = boards.reshape((-1,) + boards.shape[-2:])
+            n = flat.shape[0]
+            if n <= max_batch:
+                return self.value(params, flat).reshape(lead)
+            pad = -n % max_batch
+            flat = jnp.pad(flat, ((0, pad), (0, 0), (0, 0)))
+            chunks = flat.reshape((-1, max_batch) + flat.shape[1:])
+            vals = jax.lax.map(lambda b: self.value(params, b), chunks)
+            return vals.reshape(-1)[:n].reshape(lead)
 
         return leaf
