@@ -291,6 +291,29 @@ class TestPlannerComposition:
         )
         assert p["avg_score"] > 0.7 * g["avg_score"], (g, p)
 
+    def test_chunked_leaf_matches_direct(self):
+        """make_leaf's lax.map chunking (which caps the per-op gather
+        size that crashed the TPU worker at depth-1 eval scale) is
+        bit-identical to the single-call path, including ragged tails
+        and high-rank leading axes."""
+        from rein48_tpu.train.ntuple import get_network
+
+        cfg = NTupleTrainConfig(tuples=TINY_2X3)
+        net = get_network(cfg.network_config())
+        params = {
+            k: jax.random.normal(jax.random.key(i), v.shape)
+            for i, (k, v) in enumerate(sorted(net.init().items()))
+        }
+        boards = jax.random.randint(
+            jax.random.key(9), (5, 7, 3, 4, 4), 0, 8, dtype=jnp.uint8
+        )
+        direct = net.make_leaf(params, max_batch=1 << 30)(boards)
+        chunked = net.make_leaf(params, max_batch=16)(boards)  # 105 boards
+        assert direct.shape == chunked.shape == (5, 7, 3)
+        np.testing.assert_array_equal(
+            np.asarray(direct), np.asarray(chunked)
+        )
+
 
 class TestDelayedUpdate:
     """Windowed ("delayed") TD — agents/ntuple.py td_apply_delayed and the
