@@ -435,7 +435,7 @@ class NTupleNetwork:
                 new[f"t{i}_A"] = a_acc + abs_sum
         return new
 
-    def make_leaf(self, params, max_batch: int = 16384):
+    def make_leaf(self, params, max_batch: int = 4096):
         """Expectimax leaf evaluator (``control/search.py``).
 
         N-tuple values are trained on PRE-spawn afterstates — exactly the
@@ -447,9 +447,10 @@ class NTupleNetwork:
         tree over B root boards evaluates 128*B leaves in one call
         (B=256 -> 131k boards -> a 4.2M-element table gather), and a
         single gather that size crashed the v5e TPU worker outright
-        (round 3; the 160k-element training gathers are fine). Chunking
-        caps each gather at ``32 * max_batch`` elements and costs
-        nothing measurable at eval scale.
+        (round 3; a 524k-element gather ALSO crashed it). The default
+        caps each gather at ``32 * max_batch`` = 131k elements — inside
+        the regime the trainer exercises continuously (160k) — and
+        costs nothing measurable at eval scale.
         """
 
         def leaf(boards: jax.Array) -> jax.Array:
