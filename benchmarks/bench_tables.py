@@ -43,6 +43,27 @@ Conclusions baked into the framework design:
   gathers, which requires tables small enough to stay VMEM-resident
   (e.g. 5-cell tuples at 4MB/table), or SparseCore hardware (not on
   v5e). The 4x6 network's 4x67MB tables rule that out on this chip.
+
+Small-table (65536-entry) regime, measured round 3 on the same chip
+with the FIRST-CUT MXU kernels (f32 one-hot matmuls, 1024-index grid
+steps):
+
+    small g0 fancy-index               3.59 ms        45.6 M elem/s
+    small s0 scatter-add               3.49 ms        46.9 M elem/s
+    small mean argsort+segments        9.11 ms        18.0 M elem/s
+    small MXU gather                   3.09 ms        52.9 M elem/s
+    small MXU scatter-sum              3.78 ms        43.4 M elem/s
+    small MXU scatter-stats(3x)        2.91 ms        56.2 M elem/s
+
+i.e. only ~1.2x on the raw gather (per-grid-step pipeline overhead
+dominated: 160 tiny steps against a ~0.3ms matmul floor) but already
+3.1x on the fused stats pass vs the argsort+segments pipeline step mode
+actually uses. ops/tables.py has since been reworked (exact bf16 limb
+matmuls at full MXU rate + 64k-index super-chunks swept by an inner
+loop — see its docstring); the reworked kernels are CPU-verified
+bit-exact, and their TPU timing is the first thing to measure next time
+the chip is free (this round's remaining budget was spent re-landing
+the flagship capability runs around TPU-worker crashes).
 """
 
 import os
