@@ -41,9 +41,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BATCH = 65536
 UNROLL = 2048
-MIN_ROUNDS = 4
-MAX_ROUNDS = 12
-PATIENCE = 3  # stop once the best round hasn't improved >1% in this many
+MIN_ROUNDS = 6
+MAX_ROUNDS = 20
+PATIENCE = 5  # stop once the best round hasn't improved >1% in this many
 TARGET = 10_000_000.0
 
 
