@@ -8,7 +8,15 @@ Multi-chip sharding tests run on the virtual mesh (the real environment has
 a single TPU chip; the driver separately dry-runs the multi-chip path).
 """
 
+import faulthandler
 import os
+
+# The full suite finishes in ~11-14 min on this 2-vCPU box; rare runs
+# (2 of ~6 this round) deadlocked mid-suite inside XLA:CPU collectives
+# with every thread futex-parked — an oversubscription flake, not a test
+# bug (the identical run passes when repeated). Convert an infinite hang
+# into a stack-dumped failure at 3x the worst observed runtime.
+faulthandler.dump_traceback_later(2700, exit=True)
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
