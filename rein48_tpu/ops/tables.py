@@ -231,7 +231,7 @@ def _mxu_scatter_flat(idx, vals, size, stats, interpret):
 
 def mxu_scatter_sum(size: int, idx: jax.Array, vals: jax.Array) -> jax.Array:
     """Dense ``f32[size]`` holding ``sum of vals`` scattered at ``idx``."""
-    R, C = _factor(size)
+    _, C = _factor(size)
     out = _mxu_scatter_flat(
         idx.reshape(-1).astype(jnp.int32),
         vals.reshape(-1).astype(jnp.float32),
@@ -255,7 +255,7 @@ def mxu_scatter_stats(
     the three quantities ``agents/ntuple.py`` needs for collision-mean,
     temporal-coherence, and delayed updates.
     """
-    R, C = _factor(size)
+    _, C = _factor(size)
     out = _mxu_scatter_flat(
         idx.reshape(-1).astype(jnp.int32),
         vals.reshape(-1).astype(jnp.float32),
