@@ -37,8 +37,13 @@ NUM_STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 16384
 ckpt = Checkpointer("ckpt/ntuple_tpu")
 saved = ckpt.load_config() or {}
 kwargs = {}
-if "tuples" in saved:
+if "tuples" in saved:  # JSON round-trips the tuple-of-tuples as lists
     kwargs["tuples"] = tuple(tuple(int(c) for c in t) for t in saved["tuples"])
+for flag in ("symmetric", "tc"):
+    if flag in saved:
+        kwargs[flag] = saved[flag] in (True, "True")
+if "batch_size" in saved:
+    kwargs["batch_size"] = int(saved["batch_size"])
 config = NTupleTrainConfig(**kwargs)
 
 template, _ = init_ntuple(config, jax.random.key(0))

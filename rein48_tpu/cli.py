@@ -145,11 +145,15 @@ def _cmd_train(args: argparse.Namespace) -> int:
         from rein48_tpu.train.ntuple import NTupleTrainConfig, train_ntuple
 
         kwargs = {} if args.alpha is None else {"alpha": args.alpha}
+        if args.delay_window is not None:
+            # 0 = whole-update window (None); unset falls through to the
+            # NTupleTrainConfig default so the CLI and library can't
+            # diverge (the default is the measured frontier optimum).
+            kwargs["delay_window"] = args.delay_window or None
         config = NTupleTrainConfig(
             batch_size=args.batch_size,
             steps_per_update=args.unroll,
             update_mode=args.update_mode,
-            delay_window=args.delay_window or None,
             table_backend=args.table_backend,
             **kwargs,
         )
@@ -473,9 +477,10 @@ def build_parser() -> argparse.ArgumentParser:
         "(much faster on TPU)",
     )
     pt.add_argument(
-        "--delay-window", type=int, default=16,
+        "--delay-window", type=int, default=None,
         help="--update-mode delayed: env steps per frozen-table window "
-        "(must divide --unroll; 0 = whole update)",
+        "(must divide --unroll; 0 = whole update; default: trainer "
+        "default, the measured frontier optimum)",
     )
     pt.add_argument(
         "--table-backend", choices=("auto", "xla", "mxu"), default="auto",

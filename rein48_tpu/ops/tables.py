@@ -230,7 +230,15 @@ def _mxu_scatter_flat(idx, vals, size, stats, interpret):
 
 
 def mxu_scatter_sum(size: int, idx: jax.Array, vals: jax.Array) -> jax.Array:
-    """Dense ``f32[size]`` holding ``sum of vals`` scattered at ``idx``."""
+    """Dense ``f32[size]`` holding ``sum of vals`` scattered at ``idx``.
+
+    Exactness: each individual contribution is exact (bf16 limb split),
+    but under index collisions the three per-limb partial sums are folded
+    AFTER accumulation, which reassociates the f32 additions relative to
+    an XLA scatter-add — colliding sums can differ from the XLA path in
+    the last ulp. Parity is up-to-rounding (tests use rtol=1e-5), unlike
+    ``mxu_gather`` which is genuinely bit-exact.
+    """
     _, C = _factor(size)
     out = _mxu_scatter_flat(
         idx.reshape(-1).astype(jnp.int32),
@@ -254,6 +262,11 @@ def mxu_scatter_stats(
     exact-0 errors by the trainer's convention and must not count) —
     the three quantities ``agents/ntuple.py`` needs for collision-mean,
     temporal-coherence, and delayed updates.
+
+    Exactness: as in ``mxu_scatter_sum``, per-contribution values are
+    exact but collision sums are reassociated across the limb fold, so
+    err_sum/abs_sum match the XLA scatter-add up to f32 rounding (not
+    bit-exactly); ``hits`` is exact (0/1 contributions).
     """
     _, C = _factor(size)
     out = _mxu_scatter_flat(

@@ -53,7 +53,10 @@ def transform_reward(reward: jax.Array, transform: str) -> jax.Array:
 
 
 def make_optimizer(
-    name: str, learning_rate: float, *, max_grad_norm: float | None = 1.0
+    name: str,
+    learning_rate: float | optax.Schedule,
+    *,
+    max_grad_norm: float | None = 1.0,
 ) -> optax.GradientTransformation:
     """Optimizer factory.
 

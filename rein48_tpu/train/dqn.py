@@ -220,15 +220,26 @@ def make_dqn_step(
             state.params
         )
         # Freeze learning until the buffer has enough data (the analogue of
-        # the reference's `filled()` train trigger, replay.py:15-16).
+        # the reference's `filled()` train trigger, replay.py:15-16). The
+        # whole optimizer transaction is gated — not just the grads — so
+        # Adam's moment/bias-correction counters stay at step 0 through
+        # warm-up and the first real update behaves like a first update.
         learn = replay.size >= jnp.minimum(
             config.min_replay_before_learn, config.replay_capacity
         )
-        grads = jax.tree.map(
-            lambda g: jnp.where(learn, g, jnp.zeros_like(g)), grads
+
+        def do_update(operand):
+            g, opt_state, params = operand
+            updates, new_opt = optimizer.update(g, opt_state, params)
+            return optax.apply_updates(params, updates), new_opt
+
+        def skip_update(operand):
+            _, opt_state, params = operand
+            return params, opt_state
+
+        params, opt_state = jax.lax.cond(
+            learn, do_update, skip_update, (grads, state.opt_state, state.params)
         )
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
 
         update_step = state.update_step + 1
         if config.target_sync_period > 1:

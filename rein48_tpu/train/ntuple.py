@@ -97,24 +97,18 @@ class NTupleTrainConfig:
     delay_window: int | None = 4
     # Table gather/scatter lowering: "xla" (any size), "mxu" (one-hot
     # matmul kernels, tables <= 65536 entries — see ops/tables.py), or
-    # "auto" (mxu whenever every table qualifies and we're not on the
-    # CPU interpreter).
+    # "auto". Auto resolves conservatively to "xla" until the reworked
+    # MXU kernels carry an end-to-end TPU win (they are CPU-interpreter
+    # verified bit-exact but chip timing is pending —
+    # examples/bench_mxu_trainer_tpu.py); "mxu" stays an explicit opt-in
+    # so a Mosaic compile failure can't first surface in a user's
+    # training run.
     table_backend: str = "auto"
 
     def network_config(self) -> ntuple_lib.NTupleConfig:
         backend = self.table_backend
         if backend == "auto":
-            from rein48_tpu.ops import tables as table_ops
-
-            small = all(
-                table_ops.supports_mxu(ntuple_lib.BASE ** len(t))
-                for t in self.tuples
-            )
-            backend = (
-                "mxu"
-                if small and jax.default_backend() != "cpu"
-                else "xla"
-            )
+            backend = "xla"
         return ntuple_lib.NTupleConfig(
             tuples=tuple(tuple(int(c) for c in t) for t in self.tuples),
             symmetric=self.symmetric,

@@ -70,6 +70,17 @@ class PPOConfig:
     normalize_advantage: bool = True  # per-minibatch, PPO convention
     optimizer: str = "adam"
     learning_rate: float = 3e-4
+    # Cosine-decay the learning rate over this many UPDATES (0 = constant).
+    # Internally scaled by num_epochs*num_minibatches optimizer steps per
+    # update; the floor is lr_final_frac * learning_rate. Long-horizon runs
+    # want this: constant lr keeps the policy churning at the end.
+    lr_decay_updates: int = 0
+    lr_final_frac: float = 0.1
+    # Linear entropy-bonus anneal over entropy_decay_updates updates, from
+    # entropy_beta down to entropy_beta_final (None = constant). Early
+    # exploration pressure, late exploitation.
+    entropy_beta_final: Optional[float] = None
+    entropy_decay_updates: int = 0
     max_grad_norm: float = 0.5
     # True => per-epoch shuffles permute the time axis per-env only, so
     # minibatch gathers never cross the "dp"-sharded env axis (mesh-safe).
@@ -78,6 +89,15 @@ class PPOConfig:
 
     def make_model(self) -> Any:
         return nets.make_model(self.model, **dict(self.model_kwargs))
+
+    def make_learning_rate(self):
+        """Scalar lr, or a cosine-decay optax schedule when configured."""
+        if self.lr_decay_updates > 0:
+            steps = self.lr_decay_updates * self.num_epochs * self.num_minibatches
+            return optax.cosine_decay_schedule(
+                self.learning_rate, steps, alpha=self.lr_final_frac
+            )
+        return self.learning_rate
 
 
 @struct.dataclass
@@ -114,7 +134,9 @@ def init_ppo(
     )
     params = model.init(k_param, obs)["params"]
     optimizer = common.make_optimizer(
-        config.optimizer, config.learning_rate, max_grad_norm=config.max_grad_norm
+        config.optimizer,
+        config.make_learning_rate(),
+        max_grad_norm=config.max_grad_norm,
     )
     state = PPOTrainState(
         params=params,
@@ -161,6 +183,20 @@ def make_ppo_step(
 
     def step_fn(state: PPOTrainState) -> Tuple[PPOTrainState, dict]:
         key, k_roll, k_learn = jax.random.split(state.key, 3)
+
+        if config.entropy_beta_final is not None and config.entropy_decay_updates > 0:
+            frac = jnp.clip(
+                state.update_step.astype(jnp.float32)
+                / config.entropy_decay_updates,
+                0.0,
+                1.0,
+            )
+            beta = config.entropy_beta + frac * (
+                config.entropy_beta_final - config.entropy_beta
+            )
+            step_loss_cfg = loss_cfg._replace(entropy_beta=beta)
+        else:
+            step_loss_cfg = loss_cfg
 
         def body(carry, _):
             env, k = carry
@@ -225,7 +261,7 @@ def make_ppo_step(
                 tr.behavior_value,
                 adv,
                 ret,
-                loss_cfg,
+                step_loss_cfg,
             )
 
         def sgd_step(carry, mb):

@@ -132,6 +132,15 @@ class TestDQN:
         step = jax.jit(make_dqn_step(cfg, model, opt))
         state2, _ = step(state)
         assert _param_delta(state.params, state2.params) == 0.0
+        # The optimizer transaction must be skipped entirely during warm-up
+        # (VERDICT r3 weak item 5): Adam's moments AND its bias-correction
+        # step counter stay exactly at initialization, so the first real
+        # update after warm-up is a genuine step-1 update.
+        flat0 = jax.tree.leaves(state.opt_state)
+        flat2 = jax.tree.leaves(state2.opt_state)
+        assert len(flat0) == len(flat2)
+        for a, b in zip(flat0, flat2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     def test_hard_target_sync(self):
         cfg = DQNConfig(
