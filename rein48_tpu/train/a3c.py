@@ -279,12 +279,10 @@ def train_a3c(
         state = dataclasses.replace(
             state,
             env=mesh_lib.shard_env_state(state.env, mesh),
-            params=jax.device_put(
-                state.params, mesh_lib.replicated_sharding(mesh)
-            ),
-            opt_state=jax.device_put(
-                state.opt_state, mesh_lib.replicated_sharding(mesh)
-            ),
+            # Replicated when tp=1; kernels tp-sharded otherwise (the
+            # optimizer moments mirror the param specs). See mesh.py.
+            params=mesh_lib.shard_params(state.params, mesh),
+            opt_state=mesh_lib.shard_params(state.opt_state, mesh),
         )
     step = jax.jit(step_fn, donate_argnums=(0,))
 

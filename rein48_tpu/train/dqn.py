@@ -315,9 +315,11 @@ def train_dqn(
                 else jax.device_put(x, repl),
                 state.replay,
             ),
-            params=jax.device_put(state.params, repl),
-            target_params=jax.device_put(state.target_params, repl),
-            opt_state=jax.device_put(state.opt_state, repl),
+            # Replicated when tp=1; kernels tp-sharded otherwise (the
+            # optimizer moments mirror the param specs). See mesh.py.
+            params=mesh_lib.shard_params(state.params, mesh),
+            target_params=mesh_lib.shard_params(state.target_params, mesh),
+            opt_state=mesh_lib.shard_params(state.opt_state, mesh),
         )
     step = jax.jit(step_fn, donate_argnums=(0,))
 

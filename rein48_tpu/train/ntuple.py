@@ -372,9 +372,9 @@ def train_ntuple(
             prev_valid=jax.device_put(
                 state.prev_valid, mesh_lib.batch_sharding(mesh)
             ),
-            params=jax.device_put(
-                state.params, mesh_lib.replicated_sharding(mesh)
-            ),
+            # Tables carry no "kernel" leaves, so shard_params keeps
+            # them replicated on any mesh shape (see mesh.py).
+            params=mesh_lib.shard_params(state.params, mesh),
         )
     step = jax.jit(step_fn, donate_argnums=(0,))
 

@@ -7,8 +7,9 @@ Launches 2 controller processes that join via
 (2 processes x 4 local CPU devices = dp 8), run a sharded train step,
 and verify every process computes the identical replicated metric — the
 single-controller-per-host SPMD pattern of BASELINE config #5, minus the
-real DCN. Covered trainers: A3C (grad psum), DQN (sharded replay
-buffer), and n-tuple TD (replicated-table scatter all-reduce). This is
+real DCN. Covered trainers: A3C (grad psum), PPO (shard-friendly
+minibatch permutation), DQN (sharded replay buffer), and n-tuple TD
+(replicated-table scatter all-reduce). This is
 the distributed test layer the reference lacks entirely (its
 "distribution" is Python threads, SURVEY.md §2.14).
 """
@@ -71,6 +72,42 @@ A3C_WORKER = PREAMBLE + textwrap.dedent(
     state, metrics = step(state)
     # Every process must agree on the (replicated) loss.
     print(f"METRIC {pid} {float(metrics['loss']):.9f}", flush=True)
+    """
+)
+
+PPO_WORKER = PREAMBLE + textwrap.dedent(
+    """
+    from rein48_tpu.train.ppo import PPOConfig, init_ppo, make_ppo_step
+
+    # unroll 4 / minibatches 2 exercises the shard-friendly per-env time
+    # permutation (train/ppo.py): every minibatch gather must stay inside
+    # the local "dp" shard — the one mesh-specific PPO algorithm.
+    config = PPOConfig(
+        batch_size=16,
+        unroll_len=4,
+        num_epochs=2,
+        num_minibatches=2,
+        model="mlp",
+    )
+    assert config.shard_friendly_perm
+    state, model, optimizer = init_ppo(config, jax.random.key(0))
+    state = dataclasses.replace(
+        state,
+        env=jax.tree.map(lambda x: shard_batch(x, pid), state.env),
+        params=jax.device_put(state.params, mesh_lib.replicated_sharding(mesh)),
+        opt_state=jax.device_put(
+            state.opt_state, mesh_lib.replicated_sharding(mesh)
+        ),
+    )
+    step = jax.jit(make_ppo_step(config, model, optimizer))
+    state, metrics = step(state)
+    state, metrics = step(state)
+    # Every process must agree on the (replicated) loss and KL.
+    print(
+        f"METRIC {pid} {float(metrics['loss']):.9f}"
+        f" {float(metrics['approx_kl_last']):.9f}",
+        flush=True,
+    )
     """
 )
 
@@ -216,6 +253,11 @@ def _run_two_process(tmp_path, worker_src, metric_prefixes=("METRIC",)):
 @pytest.mark.slow
 def test_two_process_distributed_a3c(tmp_path):
     _run_two_process(tmp_path, A3C_WORKER)
+
+
+@pytest.mark.slow
+def test_two_process_distributed_ppo(tmp_path):
+    _run_two_process(tmp_path, PPO_WORKER)
 
 
 @pytest.mark.slow
