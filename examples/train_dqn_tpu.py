@@ -31,20 +31,29 @@ from rein48_tpu.train.evaluate import evaluate_policy
 from rein48_tpu.utils.checkpoint import Checkpointer
 from rein48_tpu.utils.metrics import MetricLogger
 
-NUM_UPDATES = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
+NUM_UPDATES = int(sys.argv[1]) if len(sys.argv) > 1 else 12000
 NUM_ENVS = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
 
 # BASELINE config #3: DQN, CNN-class net, on-device replay, 4k envs, one
-# chip. acting_steps=4 keeps the replay growing 4 transitions/env/update.
+# chip. Round-3 lesson (VERDICT r3 weak 2): the recorded run sized the
+# epsilon anneal to the whole budget (50M decay over a 49M-frame run),
+# so the policy explored at eps >= 0.066 for its entire life and the
+# eval row barely learned (frac_1024 0.003). Tuned: the anneal finishes
+# in the first ~10% of the run (10M of ~98M frames), the floor is lower
+# (0.03), and acting_steps=2 doubles the replay ratio (each update
+# trains on 8192 samples per 8192 new frames instead of per 16384).
 config = DQNConfig(
     num_envs=NUM_ENVS,
     model="resnet",
-    acting_steps_per_update=4,
-    epsilon_decay_steps=50_000_000,
+    acting_steps_per_update=2,
+    epsilon_decay_steps=10_000_000,
+    epsilon_end=0.03,
 )
 
 logger = MetricLogger(log_dir="runs/dqn_tpu")
-ckpt = Checkpointer("ckpt/dqn_tpu", save_every=1000, max_to_keep=2)
+# Fresh checkpoint dir per tuning generation: auto-resume would
+# otherwise silently continue the round-3 run under the old anneal.
+ckpt = Checkpointer("ckpt/dqn_tpu_r4", save_every=2000, max_to_keep=2)
 t0 = time.perf_counter()
 state, history = train_dqn(
     config,
@@ -77,6 +86,12 @@ with open("runs/dqn_tpu/eval.json", "w") as f:
             "steps_per_sec": (
                 history[-1]["steps_per_sec"] if history else None
             ),
+            "config": {
+                "num_envs": NUM_ENVS,
+                "acting_steps_per_update": config.acting_steps_per_update,
+                "epsilon_decay_steps": config.epsilon_decay_steps,
+                "epsilon_end": config.epsilon_end,
+            },
             "protocol": "first_episode",
             "eval": stats,
         },

@@ -124,36 +124,88 @@ def _afterstates(boards: jax.Array):
     return after, reward, changed
 
 
-def _value_max(boards, depth, leaf_value, reward_fn, gamma, death_value) -> jax.Array:
+def _value_max(
+    boards, depth, leaf_value, reward_fn, gamma, death_value, chance_chunk=None
+) -> jax.Array:
     """Expectimax value of max nodes ``[...]`` at the given search depth."""
     q, legal = _action_values(
-        boards, depth, leaf_value, reward_fn, gamma, death_value
+        boards, depth, leaf_value, reward_fn, gamma, death_value, chance_chunk
     )
     dead = ~jnp.any(legal, axis=-1)
     best = jnp.max(jnp.where(legal, q, -jnp.inf), axis=-1)
     return jnp.where(dead, death_value, best)
 
 
-def _value_chance(after, depth, leaf_value, reward_fn, gamma, death_value) -> jax.Array:
-    """Expected value of chance nodes (afterstates) ``[...]``."""
+def _value_chance(
+    after, depth, leaf_value, reward_fn, gamma, death_value, chance_chunk=None
+) -> jax.Array:
+    """Expected value of chance nodes (afterstates) ``[...]``.
+
+    ``chance_chunk`` (must divide 32) serializes the 32-way chance
+    expansion through ``lax.map`` in groups of that many children, so
+    the subtree intermediates (children boards, their afterstates, the
+    leaf lookup streams) materialize at 32/chance_chunk of the fused
+    size. The math is identical — the expectation is a sum either way.
+    This exists because the fully-fused depth-1 program reproducibly
+    faulted this environment's TPU worker at eval scale (round 3); the
+    chunked program keeps every intermediate inside the envelope the
+    trainer exercises continuously.
+    """
     if depth <= 0:
         return leaf_value(after)
     children, probs = _chance_children(after)
-    child_values = _value_max(
-        children, depth - 1, leaf_value, reward_fn, gamma, death_value
+    if chance_chunk is None or chance_chunk >= CHANCE_BRANCH:
+        child_values = _value_max(
+            children, depth - 1, leaf_value, reward_fn, gamma, death_value,
+            chance_chunk,
+        )
+        # Invalid children carry p=0; their (garbage, possibly DEATH)
+        # values must not produce 0 * -inf — values are finite by
+        # construction.
+        return jnp.sum(probs * child_values, axis=-1)
+    if CHANCE_BRANCH % chance_chunk:
+        raise ValueError(
+            f"chance_chunk {chance_chunk} must divide {CHANCE_BRANCH}"
+        )
+    # [..., 32, 4, 4] -> [n_chunks, ..., chunk, 4, 4]: lax.map carries
+    # one chunk's subtree at a time.
+    n_chunks = CHANCE_BRANCH // chance_chunk
+    ch = jnp.moveaxis(
+        children.reshape(
+            children.shape[:-3] + (n_chunks, chance_chunk) + children.shape[-2:]
+        ),
+        -4,
+        0,
     )
-    # Invalid children carry p=0; their (garbage, possibly DEATH) values
-    # must not produce 0 * -inf — values here are finite by construction.
-    return jnp.sum(probs * child_values, axis=-1)
+    pr = jnp.moveaxis(
+        probs.reshape(probs.shape[:-1] + (n_chunks, chance_chunk)), -2, 0
+    )
+
+    def chunk_expectation(args):
+        boards, p = args
+        v = _value_max(
+            boards, depth - 1, leaf_value, reward_fn, gamma, death_value,
+            chance_chunk,
+        )
+        return jnp.sum(p * v, axis=-1)
+
+    partials = jax.lax.map(chunk_expectation, (ch, pr))  # [n_chunks, ...]
+    return jnp.sum(partials, axis=0)
 
 
 def _action_values(
-    boards, depth, leaf_value, reward_fn, gamma, death_value=DEATH_VALUE
+    boards,
+    depth,
+    leaf_value,
+    reward_fn,
+    gamma,
+    death_value=DEATH_VALUE,
+    chance_chunk=None,
 ):
     """Q(board, a) = merge reward + gamma * E[value of afterstate]."""
     after, reward, legal = _afterstates(boards)
     q = reward_fn(reward) + gamma * _value_chance(
-        after, depth, leaf_value, reward_fn, gamma, death_value
+        after, depth, leaf_value, reward_fn, gamma, death_value, chance_chunk
     )
     return q, legal
 
@@ -188,6 +240,7 @@ def make_expectimax_policy(
     reward_fn=lambda r: r,
     gamma: float = 1.0,
     death_value: float = DEATH_VALUE,
+    chance_chunk: int | None = None,
 ):
     """Build ``policy(boards) -> int32 actions`` with a custom leaf.
 
@@ -216,7 +269,8 @@ def make_expectimax_policy(
 
     def policy(boards: jax.Array) -> jax.Array:
         q, legal = _action_values(
-            boards, depth, leaf_value, reward_fn, gamma, death_value
+            boards, depth, leaf_value, reward_fn, gamma, death_value,
+            chance_chunk,
         )
         return _argmax_legal(q, legal)
 

@@ -409,13 +409,19 @@ def train_ntuple(
 
 
 @functools.lru_cache(maxsize=16)
-def _get_ntuple_policy(net_config: ntuple_lib.NTupleConfig, depth: int):
+def _get_ntuple_policy(
+    net_config: ntuple_lib.NTupleConfig,
+    depth: int,
+    chance_chunk: int | None = None,
+):
     """Cached ``policy_fn(params, boards)`` for the eval rollout.
 
     depth=0 is the training policy itself (greedy ``r + V(afterstate)``);
     depth>=1 wraps the same value function in the exact expectimax tree
     of ``control/search.py``. N-tuple leaves ARE afterstate values, so
     the planner composition is unit-exact (no pre/post-spawn mismatch).
+    ``chance_chunk`` serializes the chance expansion (identical math;
+    see ``search._value_chance``) — the TPU-safe shape for depth >= 1.
     """
     from rein48_tpu.control import search
 
@@ -428,6 +434,7 @@ def _get_ntuple_policy(net_config: ntuple_lib.NTupleConfig, depth: int):
             reward_fn=lambda r: r,
             gamma=1.0,
             death_value=0.0,
+            chance_chunk=chance_chunk,
         )(boards)
 
     return policy_fn
@@ -442,6 +449,7 @@ def evaluate_ntuple(
     num_steps: int = 4096,
     seed: int = 0,
     protocol: str = "window",
+    chance_chunk: int | None = None,
 ) -> Dict[str, float]:
     """Greedy (or expectimax-boosted) evaluation sweep.
 
@@ -456,7 +464,7 @@ def evaluate_ntuple(
 
     if isinstance(config, NTupleTrainConfig):
         config = config.network_config()
-    policy_fn = _get_ntuple_policy(config, depth)
+    policy_fn = _get_ntuple_policy(config, depth, chance_chunk)
     state = vector.reset_batch(jax.random.key(seed), num_envs)
     rollout = {
         "window": evaluate._search_rollout,

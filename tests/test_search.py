@@ -220,3 +220,63 @@ class TestDeathValue:
         q = np.asarray(jnp.where(legal, q, 0.0))
         assert np.all(np.isfinite(q))
         assert np.all(np.abs(q) < 100.0)
+
+
+class TestChanceChunking:
+    """chance_chunk serializes the chance expansion with identical math
+    (the TPU-safe depth-1 shape; see search._value_chance)."""
+
+    @pytest.mark.parametrize("chunk", [4, 8, 16])
+    def test_chunked_q_matches_fused(self, chunk):
+        boards = _random_boards(jax.random.key(5), 32)
+        q_fused, legal_fused = search._action_values(
+            boards, 1, search.heuristic, lambda r: r, 1.0
+        )
+        q_chunk, legal_chunk = search._action_values(
+            boards, 1, search.heuristic, lambda r: r, 1.0,
+            chance_chunk=chunk,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(legal_fused), np.asarray(legal_chunk)
+        )
+        np.testing.assert_allclose(
+            np.asarray(q_fused), np.asarray(q_chunk), rtol=1e-6, atol=1e-3
+        )
+
+    def test_chunked_policy_identical_actions(self):
+        boards = _random_boards(jax.random.key(6), 64)
+        fused = search.make_expectimax_policy(1)(boards)
+        chunked = search.make_expectimax_policy(1, chance_chunk=8)(boards)
+        np.testing.assert_array_equal(np.asarray(fused), np.asarray(chunked))
+
+    def test_chunked_ntuple_eval_matches(self):
+        """The n-tuple depth-1 eval path gives identical actions chunked."""
+        from rein48_tpu.agents import ntuple as ntuple_lib
+        from rein48_tpu.train.ntuple import (
+            NTupleTrainConfig,
+            _get_ntuple_policy,
+            init_ntuple,
+        )
+
+        cfg = NTupleTrainConfig(tuples=ntuple_lib.TINY_2X3, batch_size=16)
+        state, net = init_ntuple(cfg, jax.random.key(0))
+        # Non-trivial tables so the argmax is informative.
+        params = {
+            k: v + jax.random.normal(jax.random.key(i), v.shape)
+            for i, (k, v) in enumerate(state.params.items())
+        }
+        boards = _random_boards(jax.random.key(7), 24)
+        p_fused = _get_ntuple_policy(cfg.network_config(), 1)
+        p_chunk = _get_ntuple_policy(cfg.network_config(), 1, 8)
+        np.testing.assert_array_equal(
+            np.asarray(p_fused(params, boards)),
+            np.asarray(p_chunk(params, boards)),
+        )
+
+    def test_bad_chunk_raises(self):
+        boards = _random_boards(jax.random.key(8), 4)
+        with pytest.raises(ValueError):
+            search._action_values(
+                boards, 1, search.heuristic, lambda r: r, 1.0,
+                chance_chunk=5,
+            )
