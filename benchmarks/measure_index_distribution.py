@@ -164,3 +164,15 @@ for i, cells in enumerate(config.tuples):
 with open("benchmarks/index_distribution.json", "w") as f:
     json.dump(report, f, indent=2)
 print("\nwrote benchmarks/index_distribution.json", flush=True)
+
+# Dump a realistic per-table index-stream sample (the trainer's actual
+# canonical-order lookup indices) so table-op benchmarks can measure the
+# TRUE workload, not uniform random — the XLA serial loop is
+# distribution-independent but Pallas cache designs are not.
+streams = {}
+idx_streams = net.indices(jnp.asarray(after))
+for i, idx in enumerate(idx_streams):
+    flat_idx = np.asarray(idx).reshape(-1).astype(np.int32)
+    streams[f"t{i}"] = flat_idx[:262144]
+np.savez_compressed("benchmarks/realistic_idx.npz", **streams)
+print("wrote benchmarks/realistic_idx.npz", flush=True)

@@ -394,6 +394,7 @@ def main():
     probe_p3()
     probe_p6()
     probe_p4()
+    probe_p7()
     if not CPU:
         probe_p5()  # DMA loop: real hardware only
     with open(
@@ -405,3 +406,74 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+# ---------------------------------------------------------------- P7
+# The assembled hot-prefix gather kernel (ops/hbm_tables.py) on the
+# trainer's REAL index stream (benchmarks/realistic_idx.npz) and on
+# uniform random — end-to-end, including the XLA cold residue.
+def probe_p7():
+    import os
+
+    import numpy as np
+
+    from rein48_tpu.ops import hbm_tables as ht
+
+    SIZE = 16**6
+    rng = np.random.default_rng(0)
+    streams = {"uniform": rng.integers(0, SIZE, 163840).astype(np.int32)}
+    npz = os.path.join(os.path.dirname(__file__), "realistic_idx.npz")
+    if os.path.exists(npz):
+        data = np.load(npz)
+        streams["realistic_t0"] = data["t0"][:163840]
+    table_logical = jnp.arange(SIZE, dtype=jnp.float32) * 0.001
+    rm = ht.identity_rowmap(SIZE)
+
+    for name, np_idx in streams.items():
+        idx = jnp.asarray(np_idx)
+        # Build the hot permutation from the stream's own row histogram
+        # (stand-in for the TC heat signal).
+        rows = np_idx >> 7
+        heat_rows = np.bincount(rows, minlength=SIZE // ht.ROW).astype(
+            np.float32
+        )
+        heat = np.repeat(heat_rows, ht.ROW)
+        perm, rm2 = ht.hot_permutation(jnp.asarray(heat), rm, 8192)
+        phys_idx = ht.physical_index(rm2, idx)
+        table = (
+            jnp.zeros((SIZE,), jnp.float32)
+            .at[phys_idx]
+            .set(table_logical[idx])
+        )
+        storage = ht.hashed_rowmap_storage(rm2)
+
+        @jax.jit
+        def kernel_gather(table, rm_flat, storage, idx):
+            return jnp.sum(
+                ht.cached_gather(
+                    table,
+                    rm_flat,
+                    storage,
+                    idx,
+                    prefix_rows=8192,
+                    cold_capacity_rows=16,
+                )
+            )
+
+        @jax.jit
+        def xla_gather(table, rm_flat, idx):
+            return jnp.sum(table[ht.physical_index(rm_flat, idx)])
+
+        got = float(kernel_gather(table, rm2, storage, idx))
+        want = float(xla_gather(table, rm2, idx))
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+        timeit(
+            f"P7 kernel gather 160k ({name})",
+            kernel_gather, table, rm2, storage, idx,
+            reps=10, elems=163840,
+        )
+        timeit(
+            f"P7 XLA gather 160k ({name})",
+            xla_gather, table, rm2, idx,
+            reps=10, elems=163840,
+        )
