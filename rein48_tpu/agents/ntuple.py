@@ -101,13 +101,26 @@ class NTupleConfig:
             on TPU). "mxu" = the one-hot matmul reformulation of
             ``ops/tables.py`` — MXU-speed for tables up to 65536
             entries (<= 4-cell tuples); identical math, different
-            lowering.
+            lowering. "cached" = hot-prefix permuted tables
+            (``ops/hbm_tables.py``): value gathers run through the
+            Pallas prefix-cache kernel and every scatter/dense op works
+            on the physically permuted layout — built for the
+            HBM-sized flagship tables the serial loop throttles.
+        prefix_rows: "cached" only — hot-prefix size in 128-entry rows
+            per table (8192 rows = 4MB of VMEM-resident values, the
+            measured 94.6-97.4%-coverage point for the flagship).
+        cold_capacity_rows: "cached" only — per-16384-element-block
+            compaction capacity for cold lookups, in 128-slot rows
+            (16 rows = 12.5% headroom; overflow falls back to the
+            exact serial path).
     """
 
     tuples: Tuple[Tuple[int, ...], ...] = YEH_4X6
     symmetric: bool = True
     optimistic_init: float = 0.0
     backend: str = "xla"
+    prefix_rows: int = 8192
+    cold_capacity_rows: int = 16
 
     @property
     def num_lookups(self) -> int:
@@ -145,8 +158,18 @@ class NTupleNetwork:
             int(BASE ** len(t)) for t in config.tuples
         )
         self.num_lookups = config.num_lookups
-        if config.backend not in ("xla", "mxu"):
+        if config.backend not in ("xla", "mxu", "cached"):
             raise ValueError(f"unknown table backend '{config.backend}'")
+        if config.backend == "cached":
+            bad = [n for n in self.table_sizes if n % (128 * 128)]
+            if bad:
+                raise ValueError(
+                    "backend='cached' needs table sizes divisible by "
+                    f"16384; got {bad} (use 'xla' for small tuples)"
+                )
+            self.prefix_rows = tuple(
+                min(config.prefix_rows, n // 128) for n in self.table_sizes
+            )
         if config.backend == "mxu":
             from rein48_tpu.ops import tables as table_ops
 
@@ -157,13 +180,28 @@ class NTupleNetwork:
                     f"entries; got {bad} (use backend='xla' for big tuples)"
                 )
         self._mxu = config.backend == "mxu"
+        self._cached = config.backend == "cached"
 
     def init(self) -> Dict[str, jax.Array]:
-        """Zero (or optimistic) tables: ``{"t0": f32[16^k0], ...}``."""
-        return {
+        """Zero (or optimistic) tables: ``{"t0": f32[16^k0], ...}``.
+
+        backend="cached" adds per-table permutation state: ``t{i}_rm``
+        (flat logical-row -> physical-row map) and ``t{i}_rms`` (its
+        lane-hashed kernel storage). Constant-initialized tables are
+        layout-invariant, so the identity permutation is exact.
+        """
+        params = {
             f"t{i}": jnp.full((n,), self.config.optimistic_init, jnp.float32)
             for i, n in enumerate(self.table_sizes)
         }
+        if self._cached:
+            from rein48_tpu.ops import hbm_tables
+
+            for i, n in enumerate(self.table_sizes):
+                rm = hbm_tables.identity_rowmap(n)
+                params[f"t{i}_rm"] = rm
+                params[f"t{i}_rms"] = hbm_tables.hashed_rowmap_storage(rm)
+        return params
 
     def indices(self, boards: jax.Array) -> Tuple[jax.Array, ...]:
         """Per-table lookup indices for ``uint8[..., 4, 4]`` boards.
@@ -181,12 +219,38 @@ class NTupleNetwork:
             out.append(jnp.sum(digits * jnp.asarray(weights), axis=-1))
         return tuple(out)
 
-    def _gather(self, table: jax.Array, idx: jax.Array) -> jax.Array:
+    def _gather(self, params, i: int, idx: jax.Array) -> jax.Array:
+        table = params[f"t{i}"]
         if self._mxu:
             from rein48_tpu.ops import tables as table_ops
 
             return table_ops.mxu_gather(table, idx)
+        if self._cached:
+            from rein48_tpu.ops import hbm_tables
+
+            return hbm_tables.cached_gather(
+                table,
+                params[f"t{i}_rm"],
+                params[f"t{i}_rms"],
+                idx,
+                prefix_rows=self.prefix_rows[i],
+                cold_capacity_rows=self.config.cold_capacity_rows,
+            )
         return table[idx]
+
+    def _translate(self, params, i: int, ids: jax.Array) -> jax.Array:
+        """Logical -> physical ids for the scatter/accumulator paths.
+
+        backend="cached" stores tables physically permuted; every
+        non-kernel table op (scatter-adds, sorted-segment updates, TC
+        accumulator reads) just runs on translated indices — identical
+        per-entry math on a relabeled domain.
+        """
+        if not self._cached:
+            return ids
+        from rein48_tpu.ops import hbm_tables
+
+        return hbm_tables.physical_index(params[f"t{i}_rm"], ids)
 
     def _stats(self, size: int, ids: jax.Array, d: jax.Array):
         """Dense ``(err_sum, abs_sum, hits)`` over one table.
@@ -208,7 +272,7 @@ class NTupleNetwork:
         """V(board) = sum of all table lookups, ``float32[...]``."""
         total = None
         for i, idx in enumerate(self.indices(boards)):
-            v = jnp.sum(self._gather(params[f"t{i}"], idx), axis=-1)
+            v = jnp.sum(self._gather(params, i, idx), axis=-1)
             total = v if total is None else total + v
         return total
 
@@ -245,7 +309,7 @@ class NTupleNetwork:
         delta = (alpha / self.num_lookups) * err
         new = dict(params)
         for i, idx in enumerate(self.indices(boards)):
-            ids = idx.reshape(-1)
+            ids = self._translate(params, i, idx.reshape(-1))
             d = jnp.broadcast_to(delta[..., None], idx.shape).reshape(-1)
             if self._mxu:
                 # Dense MXU path: identical math, no sort/scatter loop.
@@ -323,7 +387,7 @@ class NTupleNetwork:
         new = dict(params)
         scale = alpha / self.num_lookups
         for i, idx in enumerate(self.indices(boards)):
-            ids = idx.reshape(-1)
+            ids = self._translate(params, i, idx.reshape(-1))
             d = jnp.broadcast_to(err[..., None], idx.shape).reshape(-1)
             if self._mxu:
                 # Dense MXU path: per-entry mean error + TC modulation as
@@ -408,7 +472,7 @@ class NTupleNetwork:
         """
         new = dict(params)
         for i, idx in enumerate(self.indices(boards)):
-            ids = idx.reshape(-1)
+            ids = self._translate(params, i, idx.reshape(-1))
             d = jnp.broadcast_to(err[..., None], idx.shape).reshape(-1)
             n = params[f"t{i}"].shape[0]
             # Masked backups carry exact-0 errors: they cancel out of the
@@ -433,6 +497,39 @@ class NTupleNetwork:
             if tc:
                 new[f"t{i}_E"] = e_acc + err_sum
                 new[f"t{i}_A"] = a_acc + abs_sum
+        return new
+
+    def refresh_cache(self, params: Dict[str, jax.Array]):
+        """Re-derive each table's hot-prefix permutation (backend="cached").
+
+        Heat = the TC ``|err|`` accumulator when present (its per-entry
+        magnitude is exactly "how much this entry has been learning"),
+        else ``|value|``. Rows are physically reordered so the hottest
+        ``prefix_rows`` form the kernel's VMEM prefix; all per-entry
+        state moves together, so training semantics are untouched (the
+        domain is just relabeled). O(table) row-gathers — call every
+        ``cache_refresh_every`` updates, not per step.
+        """
+        if not self._cached:
+            return params
+        from rein48_tpu.ops import hbm_tables
+
+        new = dict(params)
+        for i in range(len(self.table_sizes)):
+            heat = params.get(f"t{i}_A")
+            if heat is None:
+                heat = jnp.abs(params[f"t{i}"])
+            perm, rm = hbm_tables.hot_permutation(
+                heat, params[f"t{i}_rm"], self.prefix_rows[i]
+            )
+            for suffix in ("", "_E", "_A"):
+                key = f"t{i}{suffix}"
+                if key in params:
+                    new[key] = hbm_tables.apply_row_permutation(
+                        params[key], perm
+                    )
+            new[f"t{i}_rm"] = rm
+            new[f"t{i}_rms"] = hbm_tables.hashed_rowmap_storage(rm)
         return new
 
     def make_leaf(self, params, max_batch: int = 4096):

@@ -97,13 +97,17 @@ class NTupleTrainConfig:
     delay_window: int | None = 4
     # Table gather/scatter lowering: "xla" (any size), "mxu" (one-hot
     # matmul kernels, tables <= 65536 entries — see ops/tables.py), or
-    # "auto". Auto resolves conservatively to "xla" until the reworked
-    # MXU kernels carry an end-to-end TPU win (they are CPU-interpreter
-    # verified bit-exact but chip timing is pending —
-    # examples/bench_mxu_trainer_tpu.py); "mxu" stays an explicit opt-in
+    # "auto", or "cached" (hot-prefix permuted tables via the Pallas
+    # gather kernel, ops/hbm_tables.py — built for the HBM-sized
+    # flagship tables). Auto resolves conservatively to "xla" until a
+    # measured TPU win flips it; "mxu"/"cached" stay explicit opt-ins
     # so a Mosaic compile failure can't first surface in a user's
     # training run.
     table_backend: str = "auto"
+    # backend="cached" knobs: hot-prefix rows per table and how often
+    # (in updates) the permutation is re-derived from the TC heat.
+    cache_prefix_rows: int = 8192
+    cache_refresh_every: int = 50
 
     def network_config(self) -> ntuple_lib.NTupleConfig:
         backend = self.table_backend
@@ -114,6 +118,7 @@ class NTupleTrainConfig:
             symmetric=self.symmetric,
             optimistic_init=self.optimistic_init,
             backend=backend,
+            prefix_rows=self.cache_prefix_rows,
         )
 
 
@@ -362,6 +367,22 @@ def train_ntuple(
         )
     step_fn = make_ntuple_step(config)
 
+    net_cfg = config.network_config()
+    refresh = None
+    if net_cfg.backend == "cached":
+        net = get_network(net_cfg)
+
+        def _refresh(st):
+            return dataclasses.replace(
+                st, params=net.refresh_cache(st.params)
+            )
+
+        refresh = jax.jit(_refresh, donate_argnums=(0,))
+        # Warm the permutation immediately: after a resume the heat is
+        # real; on a fresh init it fronts the low rows, and the kernel's
+        # overflow fallback keeps correctness until the first refresh.
+        state = refresh(state)
+
     if mesh is not None:
         state = dataclasses.replace(
             state,
@@ -383,6 +404,8 @@ def train_ntuple(
     t0 = time.perf_counter()
     for i in range(num_updates):
         state, metrics = step(state)
+        if refresh is not None and (i + 1) % config.cache_refresh_every == 0:
+            state = refresh(state)
         if (i + 1) % log_every == 0 or i + 1 == num_updates:
             m = {k: float(v) for k, v in jax.device_get(metrics).items()}
             dt = time.perf_counter() - t0

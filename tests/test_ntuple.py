@@ -638,3 +638,79 @@ class TestMXUBackend:
         # On CPU auto resolves to xla either way; big tuples always xla.
         assert big.network_config().backend == "xla"
         assert small.network_config().backend in ("xla", "mxu")
+
+
+class TestCachedBackend:
+    """backend="cached" (hot-prefix permuted tables, ops/hbm_tables.py)
+    must train BIT-IDENTICALLY to the xla backend — the permutation is a
+    relabeling of the table domain and the kernel gather is exact."""
+
+    BASE = dict(
+        tuples=ntuple_lib.SJ_2X4,
+        batch_size=8,
+        steps_per_update=8,
+    )
+
+    def _logical(self, params, i):
+        from rein48_tpu.ops import hbm_tables
+
+        n = params[f"t{i}"].shape[0]
+        phys = hbm_tables.physical_index(
+            params[f"t{i}_rm"], jnp.arange(n, dtype=jnp.int32)
+        )
+        return np.asarray(params[f"t{i}"])[np.asarray(phys)]
+
+    @pytest.mark.parametrize(
+        "mode,window", [("delayed", 4), ("step", None)]
+    )
+    def test_training_equivalence(self, mode, window):
+        from rein48_tpu.train.ntuple import NTupleTrainConfig, train_ntuple
+
+        cfg_x = NTupleTrainConfig(
+            **self.BASE, update_mode=mode, delay_window=window,
+            table_backend="xla",
+        )
+        cfg_c = NTupleTrainConfig(
+            **self.BASE, update_mode=mode, delay_window=window,
+            table_backend="cached", cache_prefix_rows=32,
+            cache_refresh_every=2,
+        )
+        sx, hx = train_ntuple(cfg_x, num_updates=3, seed=5, log_every=1)
+        sc, hc = train_ntuple(cfg_c, num_updates=3, seed=5, log_every=1)
+        # Identical trajectories (the policy saw identical values)...
+        np.testing.assert_array_equal(
+            np.asarray(sx.env.boards), np.asarray(sc.env.boards)
+        )
+        # ...and identical learned tables under the logical view.
+        for i in range(2):
+            np.testing.assert_array_equal(
+                np.asarray(sx.params[f"t{i}"]), self._logical(sc.params, i)
+            )
+
+    def test_value_equals_across_refresh(self):
+        from rein48_tpu.engine import vector
+        from rein48_tpu.train.ntuple import (
+            NTupleTrainConfig,
+            get_network,
+            init_ntuple,
+        )
+
+        cfg = NTupleTrainConfig(
+            **self.BASE, table_backend="cached", cache_prefix_rows=32
+        )
+        net = get_network(cfg.network_config())
+        state, _ = init_ntuple(cfg, jax.random.key(0))
+        params = dict(state.params)
+        for i in range(2):
+            n = params[f"t{i}"].shape[0]
+            params[f"t{i}"] = jax.random.normal(
+                jax.random.key(10 + i), (n,), jnp.float32
+            )
+            params[f"t{i}_A"] = jax.random.uniform(
+                jax.random.key(20 + i), (n,)
+            )
+        boards = vector.reset_batch(jax.random.key(1), 64).boards
+        v0 = np.asarray(net.value(params, boards))
+        params2 = net.refresh_cache(params)
+        v1 = np.asarray(net.value(params2, boards))
+        np.testing.assert_array_equal(v0, v1)
