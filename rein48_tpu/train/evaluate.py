@@ -142,7 +142,9 @@ def evaluate_policy(
     return {k: float(v) for k, v in stats.items()}
 
 
-def _build_search_policy(depth, model, obs_encoding, gamma, reward_transform):
+def _build_search_policy(
+    depth, model, obs_encoding, gamma, reward_transform, chance_chunk=None
+):
     """``policy_fn(params, boards) -> actions`` for :func:`evaluate_search`.
 
     Built once per distinct config and memoized (``_get_search_policy``):
@@ -154,7 +156,11 @@ def _build_search_policy(depth, model, obs_encoding, gamma, reward_transform):
 
     if model is None:
         def policy_fn(p, boards):
-            return search.expectimax_policy(boards, depth)
+            q, legal = search._action_values(
+                boards, depth, search.heuristic, lambda r: r, 1.0,
+                chance_chunk=chance_chunk,
+            )
+            return search._argmax_legal(q, legal)
 
         return policy_fn
 
@@ -168,6 +174,7 @@ def _build_search_policy(depth, model, obs_encoding, gamma, reward_transform):
             # Match the critic's terminal convention: trainers bootstrap
             # V=0 at done, so a dead node is worth 0 in critic units.
             death_value=0.0,
+            chance_chunk=chance_chunk,
         )(boards)
 
     return policy_fn
@@ -176,18 +183,20 @@ def _build_search_policy(depth, model, obs_encoding, gamma, reward_transform):
 _cached_search_policy = functools.lru_cache(maxsize=32)(_build_search_policy)
 
 
-def _get_search_policy(depth, model, obs_encoding, gamma, reward_transform):
+def _get_search_policy(
+    depth, model, obs_encoding, gamma, reward_transform, chance_chunk=None
+):
     try:
         # Flax linen modules are frozen dataclasses — hashable, and equal
         # configs compare equal, so identical (depth, model, encoding,
         # gamma, transform) tuples reuse one policy object and therefore
         # one compiled executable.
         return _cached_search_policy(
-            depth, model, obs_encoding, gamma, reward_transform
+            depth, model, obs_encoding, gamma, reward_transform, chance_chunk
         )
     except TypeError:  # unhashable custom model: no caching, still works
         return _build_search_policy(
-            depth, model, obs_encoding, gamma, reward_transform
+            depth, model, obs_encoding, gamma, reward_transform, chance_chunk
         )
 
 
@@ -283,6 +292,8 @@ def evaluate_search(
     obs_encoding: str = "onehot",
     gamma: float = 0.99,
     reward_transform: str = "log2",
+    chance_chunk: int | None = None,
+    protocol: str = "window",
 ) -> Dict[str, float]:
     """Play the expectimax planner (``control/search.py``) in lockstep.
 
@@ -290,13 +301,20 @@ def evaluate_search(
     the leaves are evaluated by the trained critic's value head instead
     of the snake heuristic (value-guided planning); ``gamma`` and
     ``reward_transform`` must match the critic's training config so
-    interior merge rewards are in the critic's units.
+    interior merge rewards are in the critic's units. ``chance_chunk``
+    serializes the spawn expansion (identical math — the TPU-safe shape
+    for depth >= 1, see ``search._value_chance``); ``protocol`` chooses
+    completed-episode ("window") or unbiased first-episode stats.
     """
     policy_fn = _get_search_policy(
-        depth, model, obs_encoding, gamma, reward_transform
+        depth, model, obs_encoding, gamma, reward_transform, chance_chunk
     )
     state = vector.reset_batch(jax.random.key(seed), num_envs)
-    _, stats = _search_rollout(
+    rollout = {
+        "window": _search_rollout,
+        "first": _first_episode_rollout,
+    }[protocol]
+    _, stats = rollout(
         params, state, policy_fn=policy_fn, num_steps=num_steps
     )
     return {k: float(v) for k, v in stats.items()}
