@@ -43,13 +43,23 @@ from rein48_tpu.utils.profiling import force
 
 BUDGET_SEC = float(sys.argv[1]) if len(sys.argv) > 1 else 420.0
 OUT = sys.argv[2] if len(sys.argv) > 2 else "benchmarks/frontier_r3.json"
+# Optional: table backend and an explicit leg list ("mode:window" with
+# window "none" for whole-update), e.g.
+#   python examples/ntuple_frontier_tpu.py 420 out.json cached delayed:4
+BACKEND = sys.argv[3] if len(sys.argv) > 3 else "xla"
 
-LEGS = (
-    ("step", None),
-    ("delayed", 4),
-    ("delayed", 16),
-    ("delayed", 64),
-)
+if len(sys.argv) > 4:
+    LEGS = tuple(
+        (m, None if w.lower() == "none" else int(w))
+        for m, w in (leg.split(":") for leg in sys.argv[4:])
+    )
+else:
+    LEGS = (
+        ("step", None),
+        ("delayed", 4),
+        ("delayed", 16),
+        ("delayed", 64),
+    )
 
 results = []
 for mode, window in LEGS:
@@ -58,24 +68,40 @@ for mode, window in LEGS:
         steps_per_update=128,
         update_mode=mode,
         delay_window=window,
+        table_backend=BACKEND,
     )
-    state, _ = init_ntuple(config, jax.random.key(0))
+    state, net = init_ntuple(config, jax.random.key(0))
     step = jax.jit(make_ntuple_step(config), donate_argnums=(0,))
+    refresh = None
+    if config.network_config().backend == "cached":
+        refresh = jax.jit(net.refresh_cache, donate_argnums=(0,))
 
     t0 = time.perf_counter()
     state, metrics = step(state)  # compile + warmup (excluded from budget)
     force(metrics["td_abs_err"])
+    if refresh is not None:
+        # Compile the refresh too, then reset to a fresh state so every
+        # leg trains from scratch.
+        import dataclasses
+
+        state = dataclasses.replace(state, params=refresh(state.params))
+        force(state.params["t0_rm"])
     compile_sec = time.perf_counter() - t0
 
     updates = 0
     t0 = time.perf_counter()
     # Check the clock every 20 updates (~1-30s depending on mode) so the
-    # fence overhead stays negligible.
+    # fence overhead stays negligible. The cache refresh (every 40
+    # updates) runs INSIDE the budget — it is part of training cost.
     while time.perf_counter() - t0 < BUDGET_SEC:
         for _ in range(20):
             state, metrics = step(state)
         force(metrics["td_abs_err"])
         updates += 20
+        if refresh is not None and updates % 40 == 0:
+            import dataclasses
+
+            state = dataclasses.replace(state, params=refresh(state.params))
     train_sec = time.perf_counter() - t0
     env_steps = updates * config.batch_size * config.steps_per_update
 
@@ -94,6 +120,7 @@ for mode, window in LEGS:
     leg = {
         "mode": mode,
         "delay_window": window,
+        "backend": BACKEND,
         "compile_sec": round(compile_sec, 1),
         "train_sec": round(train_sec, 1),
         "updates": updates,

@@ -26,6 +26,40 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
+
+# Quick-tier support (VERDICT r3 item 10): `-m "not slow"` must finish
+# in CI time. Subprocess/multihost tests carry explicit @slow markers;
+# the remainder of the long tail (measured with --durations on the full
+# suite) is marked here by nodeid substring so the budget stays visible
+# in one place.
+_SLOW_PATTERNS = (
+    "test_multihost.py",  # subprocess pairs (also explicitly marked)
+    "TestCLI",  # subprocess CLI drives
+    "TestGraftEntry",  # 8-device dryrun of three trainers
+    "TestMXUBackend::test_trainer_learns_with_mxu_backend",
+    "TestCachedBackend::test_training_equivalence",
+    "test_learning_curve_regression",
+    "test_learning_improves_play",
+    "TestFusedRolloutInterpret",
+    "TestFusedRolloutSharded",
+    "TestChanceChunking::test_chunked_ntuple_eval_matches",
+    "TestChanceChunking::test_chunked_policy_identical_actions",
+    "TestCachedGather",  # Pallas interpreter sweeps
+    "test_step_accepts_all_reference_aliases",
+    "test_evaluate_random_init_policy",
+    "test_depth1_at_least_matches_greedy_on_average",
+    "TestValueGuidedSearch::test_evaluate_search_with_value_leaf",
+    "TestBatchInvariance",
+    "TestAutoReset::test_not_done_metrics_are_zero",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if any(p in item.nodeid for p in _SLOW_PATTERNS):
+            item.add_marker(pytest.mark.slow)
+
 
 # The environment's sitecustomize force-registers the "axon" TPU backend
 # and sets jax_platforms="axon,cpu" at interpreter start, overriding the
