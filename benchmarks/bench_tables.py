@@ -2,6 +2,45 @@
 # SPDX-License-Identifier: Apache-2.0
 """Microbenchmark: random gathers/scatters into n-tuple value tables.
 
+ROUND-4 CORRECTION (measure-first lesson): every number in the original
+table below was dominated by PER-LAUNCH overhead, not op cost. This
+environment dispatches each jitted call through a remote TPU tunnel
+with ~3ms round-trip, and the original protocol timed one op per call:
+the "flat ~47M elem/s serial loop" at 160k elements was ~3ms of launch
++ ~0.3ms of gather. Measured with IN-PROGRAM repetition (a fori_loop
+around the op inside one jit, which is how ops actually run inside the
+trainer's update step), on the same chip:
+
+    in-program elem gather   160k            1.75 ns/elem   572 M elem/s
+    in-program elem scatter+ 160k            10.7 ns/elem    94 M elem/s
+    in-program row gather    8192x128 rows     31 ns/row    4.1 G elem/s
+    in-program row scatter   2048x128 rows    164 ns/row    781 M elem/s
+    P4 single-launch gather  1k..160k        2.9-3.9 ms (launch-bound)
+
+Consequences:
+* The trainer (one launch per UPDATE) always ran at the in-program
+  rates; gathers were never its bottleneck. The measured update
+  ablation (B=1024, delayed/4, 21.6ms/window): acting+values 10.5ms,
+  window apply (3 stats scatters + dense pass per table) 11.1ms.
+* Scatter-add at 10.7 ns/elem IS the slowest primitive; a Pallas
+  membership/MXU scatter kernel (ops/hbm_tables.py) was built and is
+  exact, but Mosaic's constraints (no sort/scatter, sublane
+  dynamic_gather limited to one vreg, and [K, 896] f32 accumulators
+  paying full VMEM read+write per touch: measured 14us per RMW, 6.5M
+  elem/s end-to-end) leave it ~unprofitable vs XLA's in-program rates
+  at any prefix size with acceptable coverage. It ships as a tested
+  opt-in (table_backend="cached"), default off.
+* Two "obvious" XLA-level fixes measured SLOWER end-to-end and were
+  reverted: a [size, 3] fused stats scatter (minor-dim 3 pads to 128
+  lanes: 97k steps/s, a 2x regression) and a constant-matmul index
+  computation (193k vs 203k; XLA already lowers the constant-index
+  digit gather well).
+
+The original (launch-bound) numbers and conclusions are kept below for
+the record; treat any cross-launch comparison as a tunnel measurement,
+not an op measurement.
+
+
 Measures every strategy considered for the n-tuple trainer's hot ops
 (``agents/ntuple.py``): the value lookup (a 160k-element random gather
 into 16^6-entry tables per env step at B=1024) and the TD collision-mean

@@ -11,7 +11,7 @@ the SJ_2X4 network — whose 65536-entry tables qualify for the MXU
 path — under both backends and both update modes, on one chip.
 
 Usage:  python examples/bench_mxu_trainer_tpu.py [rounds] [updates_per_round]
-Writes: benchmarks/mxu_trainer_r3.json
+Writes: benchmarks/mxu_trainer_r4.json
 """
 
 import json
@@ -88,8 +88,8 @@ for mode, backend in LEGS:
     print(f"LEG {mode}/{backend}: {best / 1e3:.0f}k env-steps/s "
           f"(compile {compile_sec:.0f}s)", flush=True)
     os.makedirs("benchmarks", exist_ok=True)
-    with open("benchmarks/mxu_trainer_r3.json", "w") as f:
+    with open("benchmarks/mxu_trainer_r4.json", "w") as f:
         json.dump({"network": "SJ_2X4", "batch": 1024,
                    "steps_per_update": 128, "legs": results}, f, indent=2)
 
-print("wrote benchmarks/mxu_trainer_r3.json", flush=True)
+print("wrote benchmarks/mxu_trainer_r4.json", flush=True)

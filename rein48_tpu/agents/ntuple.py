@@ -167,8 +167,11 @@ class NTupleNetwork:
                     "backend='cached' needs table sizes divisible by "
                     f"16384; got {bad} (use 'xla' for small tuples)"
                 )
+            # Kernel block shapes need whole 128-row groups; clamp to
+            # [128, table_rows] and round down to a multiple of 128.
             self.prefix_rows = tuple(
-                min(config.prefix_rows, n // 128) for n in self.table_sizes
+                max(128, min(config.prefix_rows, n // 128) // 128 * 128)
+                for n in self.table_sizes
             )
         if config.backend == "mxu":
             from rein48_tpu.ops import tables as table_ops
@@ -198,9 +201,11 @@ class NTupleNetwork:
             from rein48_tpu.ops import hbm_tables
 
             for i, n in enumerate(self.table_sizes):
-                rm = hbm_tables.identity_rowmap(n)
-                params[f"t{i}_rm"] = rm
-                params[f"t{i}_rms"] = hbm_tables.hashed_rowmap_storage(rm)
+                params[f"t{i}_rm"] = hbm_tables.identity_rowmap(n)
+                # Identity permutation: the prefix holds rows 0..K-1.
+                params[f"t{i}_hot"] = jnp.arange(
+                    self.prefix_rows[i], dtype=jnp.int32
+                )
         return params
 
     def indices(self, boards: jax.Array) -> Tuple[jax.Array, ...]:
@@ -215,6 +220,10 @@ class NTupleNetwork:
         out = []
         for cells, weights in zip(self._cells, self._weights):
             # [..., L, K] gather of the tuple's cells, then base-16 dot.
+            # (A constant [16, L] index matmul was tried and measured
+            # 5% SLOWER end-to-end on v5e — XLA already lowers this
+            # constant-index gather well; see benchmarks/bench_tables.py
+            # round-4 correction.)
             digits = flat[..., jnp.asarray(cells)]
             out.append(jnp.sum(digits * jnp.asarray(weights), axis=-1))
         return tuple(out)
@@ -231,7 +240,7 @@ class NTupleNetwork:
             return hbm_tables.cached_gather(
                 table,
                 params[f"t{i}_rm"],
-                params[f"t{i}_rms"],
+                params[f"t{i}_hot"],
                 idx,
                 prefix_rows=self.prefix_rows[i],
                 cold_capacity_rows=self.config.cold_capacity_rows,
@@ -263,6 +272,11 @@ class NTupleNetwork:
 
             return table_ops.mxu_scatter_stats(size, ids, d)
         live = (d != 0.0).astype(jnp.float32)
+        # Three separate 1D scatters. A fused [size, 3] scatter looks
+        # cheaper (one pass over the indices) but measured 2x SLOWER end
+        # to end on v5e: the minor-dim-3 stats array tiles to (8, 128)
+        # vregs, so XLA pads 3 -> 128 lanes and the zero-init/apply
+        # traffic balloons ~43x. Flat 1D stats keep layout dense.
         err_sum = jnp.zeros((size,), jnp.float32).at[ids].add(d)
         abs_sum = jnp.zeros((size,), jnp.float32).at[ids].add(jnp.abs(d))
         hits = jnp.zeros((size,), jnp.float32).at[ids].add(live)
@@ -472,8 +486,15 @@ class NTupleNetwork:
         """
         new = dict(params)
         for i, idx in enumerate(self.indices(boards)):
-            ids = self._translate(params, i, idx.reshape(-1))
             d = jnp.broadcast_to(err[..., None], idx.shape).reshape(-1)
+            if self._cached:
+                new.update(
+                    self._delayed_apply_cached(
+                        params, i, idx.reshape(-1), d, alpha, tc
+                    )
+                )
+                continue
+            ids = self._translate(params, i, idx.reshape(-1))
             n = params[f"t{i}"].shape[0]
             # Masked backups carry exact-0 errors: they cancel out of the
             # sum and are excluded from the count (_stats).
@@ -499,6 +520,117 @@ class NTupleNetwork:
                 new[f"t{i}_A"] = a_acc + abs_sum
         return new
 
+    def _delayed_apply_cached(self, params, i, ids, d, alpha, tc):
+        """Windowed apply for backend="cached": kernel stats + sparse apply.
+
+        Hot contributions accumulate into the ``[K, 128]`` prefix stats
+        inside the Pallas scatter kernel (MXU rate, no serial loop) and
+        the window update applies ELEMENTWISE to the prefix slices; cold
+        contributions arrive compacted and update their (few) entries by
+        the identical sequential-equivalent formula via sorted segment
+        sums — no O(table) dense stats arrays and no dense pass at all.
+        Entries neither hot nor touched see hits=0 everywhere, which the
+        dense formula maps to a no-op, so this is exactly the dense
+        result (up to the documented f32 reassociation of collision
+        sums). A cold-capacity overflow (early training, distribution
+        shift) falls back to the dense path — slower, never wrong.
+        """
+        from rein48_tpu.ops import hbm_tables
+
+        K = self.prefix_rows[i]
+        keys = [f"t{i}"] + ([f"t{i}_E", f"t{i}_A"] if tc else [])
+        rm = params[f"t{i}_rm"]
+        n = params[f"t{i}"].shape[0]
+        scale = 1.0 / self.num_lookups
+        err_sum, abs_sum, hits, cold_i, cold_e, ovf = (
+            hbm_tables.cached_scatter_stats(
+                params[f"t{i}_hot"],
+                ids,
+                d,
+                prefix_rows=K,
+                cold_capacity_rows=self.config.cold_capacity_rows,
+            )
+        )
+
+        def beta_of(e_acc, a_acc):
+            if not tc:
+                return 1.0
+            return jnp.where(
+                a_acc > 0.0, jnp.abs(e_acc) / jnp.maximum(a_acc, 1e-30), 1.0
+            )
+
+        def fast(_):
+            w = params[f"t{i}"]
+            pe = K * 128
+            es = err_sum.reshape(-1)
+            ab = abs_sum.reshape(-1)
+            h = hits.reshape(-1)
+            mean_d = es / jnp.maximum(h, 1.0)
+            if tc:
+                e_acc = params[f"t{i}_E"][:pe]
+                a_acc = params[f"t{i}_A"][:pe]
+            else:
+                e_acc = a_acc = None
+            s_step = jnp.clip(alpha * beta_of(e_acc, a_acc), 0.0, 1.0)
+            gain = 1.0 - jnp.power(1.0 - s_step, h)
+            out = [w.at[:pe].add(gain * scale * mean_d)]
+            if tc:
+                out.append(params[f"t{i}_E"].at[:pe].add(es))
+                out.append(params[f"t{i}_A"].at[:pe].add(ab))
+
+            # Cold residue: sorted segment sums -> the same per-entry
+            # update, landed once per unique entry (non-first duplicate
+            # positions carry zeroed stats, so their adds are no-ops).
+            phys = hbm_tables.physical_index(rm, cold_i)
+            order = jnp.argsort(phys)
+            sp = phys[order]
+            se = cold_e[order]
+            m = sp.shape[0]
+            firstm = jnp.concatenate(
+                [jnp.ones((1,), bool), sp[1:] != sp[:-1]]
+            )
+            seg = jnp.cumsum(firstm) - 1
+            live = (se != 0.0).astype(jnp.float32)
+            c_h = jnp.zeros((m,), jnp.float32).at[seg].add(live)[seg]
+            c_es = jnp.zeros((m,), jnp.float32).at[seg].add(se)[seg]
+            c_ab = jnp.zeros((m,), jnp.float32).at[seg].add(jnp.abs(se))[seg]
+            fm = firstm.astype(jnp.float32)
+            c_h, c_es, c_ab = c_h * fm, c_es * fm, c_ab * fm
+            c_mean = c_es / jnp.maximum(c_h, 1.0)
+            if tc:
+                ce_acc = out[1][sp]
+                ca_acc = out[2][sp]
+            else:
+                ce_acc = ca_acc = None
+            c_s = jnp.clip(alpha * beta_of(ce_acc, ca_acc), 0.0, 1.0)
+            c_gain = 1.0 - jnp.power(1.0 - c_s, c_h)
+            out[0] = out[0].at[sp].add(c_gain * scale * c_mean)
+            if tc:
+                out[1] = out[1].at[sp].add(c_es)
+                out[2] = out[2].at[sp].add(c_ab)
+            return tuple(out)
+
+        def slow(_):
+            # Dense fallback: identical math through full-table stats.
+            ids_p = hbm_tables.physical_index(rm, ids)
+            f_es, f_ab, f_h = self._stats(n, ids_p, d)
+            mean_d = f_es / jnp.maximum(f_h, 1.0)
+            if tc:
+                e_acc = params[f"t{i}_E"]
+                a_acc = params[f"t{i}_A"]
+            else:
+                e_acc = a_acc = None
+            s_step = jnp.clip(alpha * beta_of(e_acc, a_acc), 0.0, 1.0)
+            gain = 1.0 - jnp.power(1.0 - s_step, f_h)
+            out = [params[f"t{i}"] + gain * scale * mean_d]
+            if tc:
+                out.append(params[f"t{i}_E"] + f_es)
+                out.append(params[f"t{i}_A"] + f_ab)
+            return tuple(out)
+
+        updated = jax.lax.cond(ovf, slow, fast, None)
+        return dict(zip(keys, updated))
+
     def refresh_cache(self, params: Dict[str, jax.Array]):
         """Re-derive each table's hot-prefix permutation (backend="cached").
 
@@ -519,7 +651,7 @@ class NTupleNetwork:
             heat = params.get(f"t{i}_A")
             if heat is None:
                 heat = jnp.abs(params[f"t{i}"])
-            perm, rm = hbm_tables.hot_permutation(
+            perm, rm, hot = hbm_tables.hot_permutation(
                 heat, params[f"t{i}_rm"], self.prefix_rows[i]
             )
             for suffix in ("", "_E", "_A"):
@@ -529,7 +661,7 @@ class NTupleNetwork:
                         params[key], perm
                     )
             new[f"t{i}_rm"] = rm
-            new[f"t{i}_rms"] = hbm_tables.hashed_rowmap_storage(rm)
+            new[f"t{i}_hot"] = hot
         return new
 
     def make_leaf(self, params, max_batch: int = 4096):

@@ -1,6 +1,6 @@
 # Copyright 2026 The rein48-tpu Authors.
 # SPDX-License-Identifier: Apache-2.0
-"""Hot-prefix permuted tables: fast gathers into HBM-sized value tables.
+"""Hot-prefix permuted tables: fast table ops for HBM-sized value tables.
 
 The flagship 4x6-tuple network's tables (4 x 16.7M entries, 67MB each)
 are far beyond VMEM, and XLA lowers every random gather/scatter into
@@ -8,48 +8,43 @@ them to a serial ~47M elem/s loop (``benchmarks/bench_tables.py``) that
 caps the n-tuple trainer — the framework's strongest agent — at ~0.007%
 of engine throughput. The escape uses a measured property of the REAL
 workload (``benchmarks/index_distribution.json``): lookups concentrate
-massively — the hottest 8192 of each table's 131072 128-wide rows
-receive 94.6-97.4% of all lookups across a whole greedy-policy horizon.
+massively — the hottest ~2048 of each table's 131072 128-wide rows
+receive ~80-85% of all lookups across a whole greedy-policy horizon
+(8192 rows: 94.6-97.4%).
 
 Design — keep each table PHYSICALLY PERMUTED so its hottest rows form
-the contiguous prefix:
+the contiguous prefix ``table[:K*128]``:
 
-* ``rowmap`` (``int32[rows/128, 128]``) maps logical row -> physical
-  row. An index is "hot" iff its physical row < K. The prefix slice
-  ``table[:K*128]`` IS the cache — no second copy exists, so the XLA
-  scatter + dense window-apply path keeps updating the (permuted)
-  table directly and cache coherence is free by construction.
-* The Pallas kernel resolves ``rowmap`` then the prefix read with the
-  one sub-linear indexed-read primitive Mosaic offers (probed in
-  ``benchmarks/probe_tpu_primitives.py``): the same-shape sublane
-  dynamic gather ``out[j, l] = T[idx[j, l], l]``. Arbitrary
-  (row, lane) access is composed by ROLL-PLACED REQUEST ROUNDS:
-
-  - each element's request (its target row, +1) is rotated to its
-    target lane by one of 128 static lane-rolls, requests accumulating
-    by addition;
-  - one sublane gather serves every lane's request;
-  - an element accepts the result iff the request slot holds exactly
-    its row+1 — lane collisions corrupt the slot into a sum that
-    matches nobody (and if it happens to match a third element's row,
-    that element is served correctly by construction), so collided
-    elements simply retry in the next round;
-  - elements unresolved after ``MAX_ROUNDS``, and rows outside the
-    prefix, are compacted in-kernel (prefix-sum via triangular
-    matmuls + one-hot placement) and finished by XLA's serial gather,
-    which now only ever sees the few-% cold tail.
-
-  Physical lanes are XOR-hashed per logical row (``plane = (idx &
-  127) ^ h(logical_row)``) so same-lane collisions between different
-  rows are ~uniform instead of tracking the skewed low-digit
-  distribution of board exponents. The hash is part of the permanent
-  physical layout (a per-row lane bijection), shared exactly by
-  ``translate`` for the XLA scatter path and by the refresh
-  row-gathers (row moves never re-shuffle lanes).
+* The prefix IS the cache: no second copy exists, so XLA-side updates
+  of the (permuted) table are automatically coherent with kernel-side
+  reads of the prefix slice.
+* Membership and slot resolution are ONE fused question — "which hot
+  slot, if any, holds my logical row?" — answered by brute-force
+  compare against the K-entry hot-row list on the VPU and turned into
+  values by an MXU matmul: the 0/1 match mask (exact in bf16) times
+  the prefix's exact 3-limb bf16 decomposition reconstructs f32 values
+  bit-exactly (the ``ops/tables.py`` limb trick), and the transposed
+  mask times lane-one-hot channel payloads accumulates scatter
+  statistics densely into ``[K, channels]`` — the scatter side runs at
+  MXU rate with NO serial loop at all.
+* Cold elements (rows outside the prefix) are compacted in-kernel
+  (prefix-sums via triangular matmuls + one-hot placement) and
+  finished by XLA's serial path, which now only ever sees the tail;
+  overflow (early training, distribution shift) falls back to the
+  full serial path — slower, never wrong.
 * Every ``refresh_every`` updates the permutation is re-derived from
   the temporal-coherence ``|err|`` accumulator (the per-entry heat
-  signal training already maintains) and rows are physically reordered
-  by one XLA row-gather per array.
+  signal training already maintains); rows are physically reordered by
+  one XLA row-gather per array, and the logical ids of the prefix rows
+  become the new hot list.
+
+Mosaic constraints that shaped this (probed in
+``benchmarks/probe_tpu_primitives.py``): no sort, no scatter, and
+``tpu.dynamic_gather`` along sublanes is limited to one source vreg
+(8 rows), so table-sized positional gathers are impossible in-kernel —
+brute-force membership at modest K plus a compacted serial tail is the
+remaining profitable shape. The lane-dimension ``take_along_axis``
+(which IS supported) does the final per-element lane select.
 
 The reference has no analogue of any of this (its value functions are
 tiny TF1 dense nets, ``/root/reference/algorithm/a3c/a3c.py:136-169``);
@@ -67,8 +62,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 ROW = 128  # table row width == lane count
-MAX_ROUNDS = 4  # request rounds before an element falls to the cold path
 G_BLK = 128  # element rows per grid step (16384 elements)
+SUB = 512  # elements per membership sub-chunk (4 grid rows)
 
 
 def _use_interpret() -> bool:
@@ -79,28 +74,9 @@ def _iota2(n, m, d):
     return jax.lax.broadcasted_iota(jnp.int32, (n, m), d)
 
 
-def _lane_hash(row: jax.Array) -> jax.Array:
-    """Per-logical-row 7-bit lane offset (rows < 2^17; no i32 overflow)."""
-    return ((row * 389) >> 5) & (ROW - 1)
-
-
-def _map_hash(mrow: jax.Array) -> jax.Array:
-    """Per-rowmap-row lane offset for the rowmap's own storage layout."""
-    return ((mrow * 181) >> 2) & (ROW - 1)
-
-
 def physical_index(rowmap_flat: jax.Array, idx: jax.Array) -> jax.Array:
-    """Logical flat index -> physical flat index (pure arithmetic + map).
-
-    ``rowmap_flat`` is the UN-hashed logical-row-order map ``int32[rows]``
-    (see :func:`build_rowmap`); callers on the XLA side use this for the
-    scatter/dense paths. The physical lane applies the permanent XOR
-    lane hash of the LOGICAL row, so refresh row-moves never reshuffle
-    within-row layout.
-    """
-    lrow = idx >> 7
-    plane = (idx & (ROW - 1)) ^ _lane_hash(lrow)
-    return rowmap_flat[lrow] * ROW + plane
+    """Logical flat index -> physical flat index (XLA-side translate)."""
+    return rowmap_flat[idx >> 7] * ROW + (idx & (ROW - 1))
 
 
 # ------------------------------------------------------------------
@@ -113,24 +89,13 @@ def identity_rowmap(size: int) -> jax.Array:
     return jnp.arange(size // ROW, dtype=jnp.int32)
 
 
-def hashed_rowmap_storage(rowmap_flat: jax.Array) -> jax.Array:
-    """Kernel-side rowmap storage: ``int32[MR, 128]``, lane-hashed.
-
-    Entry for logical row r lives at ``[r >> 7, (r & 127) ^ h2(r >> 7)]``.
-    """
-    rows = rowmap_flat.shape[0]
-    mr = max(rows // ROW, 1)
-    a = jnp.arange(rows, dtype=jnp.int32) >> 7
-    b = (jnp.arange(rows, dtype=jnp.int32) & (ROW - 1)) ^ _map_hash(a)
-    out = jnp.zeros((mr, ROW), jnp.int32)
-    return out.at[a, b].set(rowmap_flat)
-
-
 def hot_permutation(a_acc_physical: jax.Array, rowmap_flat: jax.Array, k: int):
     """New permutation putting the k hottest physical rows first.
 
-    Returns ``(perm, new_rowmap_flat)`` with ``perm[new_phys] =
-    old_phys`` (row-gather order) and the updated logical->physical map.
+    Returns ``(perm, new_rowmap_flat, hot_logical)``: ``perm[new_phys] =
+    old_phys`` (row-gather order), the updated logical->physical map,
+    and the LOGICAL row ids now occupying physical slots ``0..k-1`` (the
+    kernel's hot list).
     """
     heat = jnp.sum(a_acc_physical.reshape(-1, ROW), axis=1)
     rows = heat.shape[0]
@@ -141,7 +106,14 @@ def hot_permutation(a_acc_physical: jax.Array, rowmap_flat: jax.Array, k: int):
     newpos = jnp.zeros((rows,), jnp.int32).at[perm].set(
         jnp.arange(rows, dtype=jnp.int32)
     )
-    return perm, newpos[rowmap_flat]
+    new_rowmap = newpos[rowmap_flat]
+    # hot_logical[s] = logical row in new physical slot s: invert the
+    # map on its prefix.
+    logical_of_oldphys = jnp.zeros((rows,), jnp.int32).at[rowmap_flat].set(
+        jnp.arange(rows, dtype=jnp.int32)
+    )
+    hot_logical = logical_of_oldphys[perm[:k]]
+    return perm, new_rowmap, hot_logical
 
 
 def apply_row_permutation(arr: jax.Array, perm: jax.Array) -> jax.Array:
@@ -150,61 +122,25 @@ def apply_row_permutation(arr: jax.Array, perm: jax.Array) -> jax.Array:
 
 
 # ------------------------------------------------------------------
-# Kernel
+# In-kernel helpers
 # ------------------------------------------------------------------
 
 
-def _stage(tab, rows_t, lanes_t, pend0, G):
-    """Roll-placed request rounds: vals[e] = tab[rows_t[e], lanes_t[e]].
-
-    Serves elements with ``pend0`` (others never participate). Returns
-    ``(vals f32, resolved bool)``; unresolved elements go cold.
-    ``tab`` is f32 ``[H, 128]`` with H >= its largest valid row + 1.
-    """
-    H = tab.shape[0]
-    rowsp1 = (rows_t + 1).astype(jnp.float32)  # request token: row + 1
-    # d = how far right each request must rotate to reach its lane.
-    pos = _iota2(G, ROW, 1)
-    d = (lanes_t - pos) & (ROW - 1)
-
-    def round_body(_, carry):
-        vals, pending = carry
-        req = jnp.zeros((G, ROW), jnp.float32)
-        for shift in range(ROW):
-            contrib = jnp.where(
-                pending & (d == shift), rowsp1, 0.0
-            )
-            if shift:
-                contrib = pltpu.roll(contrib, shift, 1)
-            req = req + contrib
-        # Serve check: the slot holds exactly row+1 (collisions sum to a
-        # token that matches nobody — or matches a third element whose
-        # row IS the sum, which then receives precisely its own row's
-        # data from the gather below).
-        idx_arr = jnp.clip(req.astype(jnp.int32) - 1, 0, H - 1)
-        got = jnp.take_along_axis(tab, idx_arr, axis=0)[:G]
-        mine_tok = jnp.take_along_axis(req, lanes_t, axis=1)
-        mine_val = jnp.take_along_axis(got, lanes_t, axis=1)
-        serve = pending & (mine_tok == rowsp1)
-        vals = jnp.where(serve, mine_val, vals)
-        return vals, pending & ~serve
-
-    vals, pending = jax.lax.fori_loop(
-        0,
-        MAX_ROUNDS,
-        round_body,
-        (jnp.zeros((G, ROW), jnp.float32), pend0),
-        unroll=False,
-    )
-    return vals, pend0 & ~pending
+def _split3(v):
+    """Exact 3-limb bf16 decomposition (ops/tables.py invariant)."""
+    l1 = v.astype(jnp.bfloat16)
+    r1 = v - l1.astype(jnp.float32)
+    l2 = r1.astype(jnp.bfloat16)
+    l3 = (r1 - l2.astype(jnp.float32)).astype(jnp.bfloat16)
+    return l1, l2, l3
 
 
 def _compact(mask, pay1, pay2, Cr, G, dump):
     """Compact masked (pay1, pay2) f32 pairs into ``[Cr, ROW]`` buffers.
 
     Positions are exact ranks (prefix sums via triangular matmuls), so
-    placement one-hots never collide. Slots beyond the cold count hold
-    (0, dump). Also returns the total masked count.
+    placement one-hots never collide. Unused slots hold (0, dump).
+    Returns ``(buf1, buf2, count)``.
     """
     m = mask.astype(jnp.float32)
     tri_l = (_iota2(ROW, ROW, 0) < _iota2(ROW, ROW, 1)).astype(jnp.float32)
@@ -220,39 +156,33 @@ def _compact(mask, pay1, pay2, Cr, G, dump):
     pr = pos >> 7
     plane = pos & (ROW - 1)
 
-    BLK = 32
     buf1 = jnp.zeros((Cr, ROW), jnp.float32)
     buf2 = jnp.zeros((Cr, ROW), jnp.float32)
 
-    def block(b, bufs):
-        buf1, buf2 = bufs
-        sl = lambda x: jax.lax.dynamic_slice(x, (b * BLK, 0), (BLK, ROW))
-        okb = sl(ok.astype(jnp.float32)).reshape(1, BLK * ROW)
-        prb = sl(pr).reshape(BLK * ROW)
-        plb = sl(plane).reshape(BLK * ROW)
-        p1 = sl(pay1).reshape(BLK * ROW)
-        p2 = sl(pay2).reshape(BLK * ROW)
-        # a[cr, e] = ok * (pr_e == cr); b_k[e, l] = (plane_e == l) * pay
+    # One 128-element grid row per step (static python loop: Mosaic has
+    # no dynamic_slice on values, and cross-dimension reshapes like
+    # [BLK, 128] -> [BLK*128] don't lower either). Row data moves to the
+    # sublane axis by 2D transpose, which does lower.
+    okf = ok.astype(jnp.float32)
+    for g in range(G):
+        okc = jnp.transpose(okf[g : g + 1, :])  # [128e, 1]
+        prc = jnp.transpose(pr[g : g + 1, :])
+        plc = jnp.transpose(plane[g : g + 1, :])
+        p1c = jnp.transpose(pay1[g : g + 1, :])
+        p2c = jnp.transpose(pay2[g : g + 1, :])
         a = (
-            jax.lax.broadcasted_iota(jnp.int32, (Cr, BLK * ROW), 0)
-            == prb[None, :]
-        ).astype(jnp.float32) * okb
+            jax.lax.broadcasted_iota(jnp.int32, (Cr, ROW), 0)
+            == jnp.transpose(prc)
+        ).astype(jnp.float32) * jnp.transpose(okc)  # [Cr, 128e]
         lane_oh = (
-            jax.lax.broadcasted_iota(jnp.int32, (BLK * ROW, ROW), 1)
-            == plb[:, None]
-        ).astype(jnp.float32)
+            jax.lax.broadcasted_iota(jnp.int32, (ROW, ROW), 1) == plc
+        ).astype(jnp.float32)  # [128e, 128l]
         buf1 = buf1 + jnp.dot(
-            a, lane_oh * p1[:, None], preferred_element_type=jnp.float32
+            a, lane_oh * p1c, preferred_element_type=jnp.float32
         )
         buf2 = buf2 + jnp.dot(
-            a, lane_oh * p2[:, None], preferred_element_type=jnp.float32
+            a, lane_oh * p2c, preferred_element_type=jnp.float32
         )
-        return buf1, buf2
-
-    buf1, buf2 = jax.lax.fori_loop(
-        0, G // BLK, block, (buf1, buf2), unroll=False
-    )
-    # Unused slots: pay2 (positions) must point at the dump slot.
     filled = (
         jax.lax.broadcasted_iota(jnp.int32, (Cr, ROW), 0) * ROW
         + jax.lax.broadcasted_iota(jnp.int32, (Cr, ROW), 1)
@@ -261,12 +191,17 @@ def _compact(mask, pay1, pay2, Cr, G, dump):
     return buf1, buf2, count
 
 
+# ------------------------------------------------------------------
+# Gather kernel
+# ------------------------------------------------------------------
+
+
 def _gather_kernel(
     idx_ref,
-    rowmap_ref,
+    hot_ref,
     prefix_ref,
     vals_ref,
-    hot_ref,
+    hit_ref,
     cold_idx_ref,
     cold_pos_ref,
     cnt_ref,
@@ -275,28 +210,43 @@ def _gather_kernel(
     Cr,
     K,
 ):
-    idx = idx_ref[:]  # [G, ROW] int32 LOGICAL flat indices
-    lrow = idx >> 7
-    plane = (idx & (ROW - 1)) ^ _lane_hash(lrow)
-    ma = lrow >> 7
-    mb = (lrow & (ROW - 1)) ^ _map_hash(ma)
+    # Limb-split the prefix once per grid step: [K, 3*ROW] bf16.
+    limbs = jnp.concatenate(_split3(prefix_ref[:]), axis=1)
+    hot_row = hot_ref[:]  # f32 [1, K]
 
-    all_on = jnp.ones((G, ROW), bool)
-    phys_f, map_ok = _stage(
-        rowmap_ref[:].astype(jnp.float32), ma, mb, all_on, G
-    )
-    phys_row = phys_f.astype(jnp.int32)
-    in_prefix = map_ok & (phys_row < K)
+    # Batch BATCH grid rows per matmul: per row, the 128 elements move to
+    # the sublane axis by 2D transpose (Mosaic lowers transposes but not
+    # cross-dimension reshapes), membership masks concatenate along
+    # sublanes, and one [BATCH*128, K] x [K, 3*ROW] matmul serves all.
+    BATCH = 8
+    for b in range(G // BATCH):
+        masks, planes = [], []
+        for g in range(b * BATCH, (b + 1) * BATCH):
+            idx = idx_ref[g : g + 1, :]  # [1, 128]
+            lrow_c = jnp.transpose((idx >> 7).astype(jnp.float32))
+            planes.append(jnp.transpose(idx & (ROW - 1)))  # [128, 1]
+            masks.append((lrow_c == hot_row).astype(jnp.bfloat16))
+        mask = jnp.concatenate(masks, axis=0)  # [BATCH*128, K]
+        v3 = jnp.dot(mask, limbs, preferred_element_type=jnp.float32)
+        vrow = (
+            v3[:, :ROW] + v3[:, ROW : 2 * ROW] + v3[:, 2 * ROW :]
+        )  # [BATCH*128, ROW]: element's full hot row (or zeros)
+        hit = jnp.sum(mask.astype(jnp.float32), axis=1, keepdims=True)
+        for j in range(BATCH):
+            g = b * BATCH + j
+            vr = vrow[j * ROW : (j + 1) * ROW, :]  # [128e, 128l]
+            sel = jnp.take_along_axis(
+                vr,
+                jnp.broadcast_to(planes[j], (ROW, ROW)),
+                axis=1,
+            )[:, :1]  # [128e, 1]
+            vals_ref[g : g + 1, :] = jnp.transpose(sel)
+            hit_ref[g : g + 1, :] = jnp.transpose(
+                hit[j * ROW : (j + 1) * ROW, :]
+            )
 
-    vals, val_ok = _stage(
-        prefix_ref[:], jnp.where(in_prefix, phys_row, 0), plane, in_prefix, G
-    )
-    hot = in_prefix & val_ok
-    vals_ref[:] = jnp.where(hot, vals, 0.0)
-    hot_ref[:] = hot.astype(jnp.float32)
-
-    # Cold elements carry their LOGICAL flat index (the residue redoes
-    # the translation in XLA) and their GLOBAL element position.
+    idx = idx_ref[:]
+    hot = hit_ref[:] > 0.0
     base = pl.program_id(0) * G * ROW
     posg = (
         base
@@ -317,14 +267,9 @@ def _gather_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("K", "Cr", "interpret"))
-def _gather_call(idx2, rowmap_st, prefix, K, Cr, interpret):
-    """Grid-blocked kernel launch; ``Cr`` = per-block cold rows."""
+def _gather_call(idx2, hot2, prefix, K, Cr, interpret):
     G = idx2.shape[0]
     n_blocks = G // G_BLK
-    mh = max(rowmap_st.shape[0], G_BLK)
-    ph = max(K, G_BLK)
-    rowmap_p = jnp.pad(rowmap_st, ((0, mh - rowmap_st.shape[0]), (0, 0)))
-    prefix_p = jnp.pad(prefix, ((0, ph - K), (0, 0)))
     return pl.pallas_call(
         functools.partial(_gather_kernel, G=G_BLK, Cr=Cr, K=K),
         grid=(n_blocks,),
@@ -340,10 +285,10 @@ def _gather_call(idx2, rowmap_st, prefix, K, Cr, interpret):
                 (G_BLK, ROW), lambda g: (g, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (mh, ROW), lambda g: (0, 0), memory_space=pltpu.VMEM
+                (1, K), lambda g: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (ph, ROW), lambda g: (0, 0), memory_space=pltpu.VMEM
+                (K, ROW), lambda g: (0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=(
@@ -364,45 +309,49 @@ def _gather_call(idx2, rowmap_st, prefix, K, Cr, interpret):
             ),
         ),
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(idx2, rowmap_p, prefix_p)
+    )(idx2, hot2, prefix)
 
 
 def cached_gather(
     table: jax.Array,
     rowmap_flat: jax.Array,
-    rowmap_storage: jax.Array,
+    hot_rows: jax.Array,
     idx: jax.Array,
     *,
     prefix_rows: int,
-    cold_capacity_rows: int = 8,
+    cold_capacity_rows: int = 16,
 ) -> jax.Array:
     """Exact ``table_logical[idx]`` for a hot-prefix permuted table.
 
-    ``table`` is PHYSICAL storage; ``idx`` are LOGICAL flat indices of
-    any shape. Hot elements resolve inside the Pallas kernel against
-    the ``[prefix_rows, 128]`` slice; cold elements return through a
-    compacted XLA residue. If any block's cold count overflows the
-    compaction capacity (early training before the first refresh, or a
-    distribution shift), the whole batch falls back to XLA's serial
-    path — slower, never wrong.
+    ``table`` is PHYSICAL storage; ``hot_rows`` the ``int32[K]`` logical
+    rows of the prefix; ``idx`` LOGICAL flat indices of any shape. Hot
+    elements resolve in the Pallas kernel; cold elements return through
+    a compacted XLA residue; a cold-count overflow falls back to the
+    full serial path (exact, slower, rare after the first refresh).
     """
     shape = idx.shape
     flat = idx.reshape(-1).astype(jnp.int32)
     n = flat.shape[0]
     pad = -n % (G_BLK * ROW)
-    flat_p = jnp.pad(flat, (0, pad))
+    # Pad with a guaranteed-HOT index so padding can never consume cold
+    # capacity (padded values are dropped by the final slice anyway).
+    flat_p = jnp.concatenate(
+        [flat, jnp.full((pad,), 1, jnp.int32) * hot_rows[0] * ROW]
+    )
     idx2 = flat_p.reshape(-1, ROW)
     G = idx2.shape[0]
     Cr = cold_capacity_rows
+    K = prefix_rows
 
-    prefix = table[: prefix_rows * ROW].reshape(prefix_rows, ROW)
-    vals2, hot2, cold_idx, cold_pos, cnt = _gather_call(
-        idx2, rowmap_storage, prefix, prefix_rows, Cr, _use_interpret()
+    hot2 = hot_rows.astype(jnp.float32).reshape(1, K)
+    prefix = table[: K * ROW].reshape(K, ROW)
+    vals2, hit2, cold_idx, cold_pos, cnt = _gather_call(
+        idx2, hot2, prefix, K, Cr, _use_interpret()
     )
 
     total = G * ROW
     vals = vals2.reshape(-1)
-    hot = hot2.reshape(-1) > 0.0
+    hot = hit2.reshape(-1) > 0.0
     flat_tab = table.reshape(-1)
 
     def residue(_):
@@ -418,3 +367,183 @@ def cached_gather(
     cold_vals = jax.lax.cond(overflow, fallback, residue, None)
     out = jnp.where(hot, vals, cold_vals)
     return out[:n].reshape(shape)
+
+
+# ------------------------------------------------------------------
+# Scatter-stats kernel
+# ------------------------------------------------------------------
+
+
+def _scatter_kernel(
+    idx_ref,
+    err_ref,
+    hot_ref,
+    stats_ref,
+    cold_idx_ref,
+    cold_err_ref,
+    cnt_ref,
+    *,
+    G,
+    Cr,
+    K,
+):
+    @pl.when(pl.program_id(0) == 0)
+    def _zero():
+        stats_ref[:] = jnp.zeros_like(stats_ref)
+
+    hot_col = jnp.transpose(hot_ref[:])  # f32 [K, 1]
+
+    # Batch BATCH grid rows per stats accumulation: the [K, 7*ROW] f32
+    # accumulator pays a full VMEM read+write per touch (measured ~14us
+    # at K=2048), so contributions concatenate across rows first.
+    BATCH = 8
+    hits_rows = []
+    for b in range(G // BATCH):
+        maskTs, rhss = [], []
+        for g in range(b * BATCH, (b + 1) * BATCH):
+            idx = idx_ref[g : g + 1, :]  # [1, 128]
+            err = err_ref[g : g + 1, :]
+            lrow_r = (idx >> 7).astype(jnp.float32)  # [1, 128]
+            plane_c = jnp.transpose(idx & (ROW - 1))  # [128, 1]
+            maskTs.append((hot_col == lrow_r).astype(jnp.bfloat16))
+            ec = jnp.transpose(err)[:, 0]  # [128] f32
+            lane_oh = (
+                _iota2(ROW, ROW, 1) == plane_c
+            ).astype(jnp.bfloat16)
+            chans = _split3(ec) + _split3(jnp.abs(ec)) + (
+                (ec != 0.0).astype(jnp.bfloat16),
+            )
+            rhss.append(
+                jnp.concatenate(
+                    [c[:, None] * lane_oh for c in chans], axis=1
+                )
+            )  # [128e, 7*ROW] bf16 (limb * 1.0 exact)
+        maskT = jnp.concatenate(maskTs, axis=1)  # [K, BATCH*128]
+        rhs = jnp.concatenate(rhss, axis=0)  # [BATCH*128, 7*ROW]
+        stats_ref[:] += jnp.dot(
+            maskT, rhs, preferred_element_type=jnp.float32
+        )
+        hits_rows.append(
+            jnp.transpose(
+                jnp.sum(maskT.astype(jnp.float32), axis=0, keepdims=True)
+            )
+        )  # [BATCH*128, 1] -> stacked later
+
+    hit_cols = jnp.concatenate(hits_rows, axis=0)  # [G*128, 1]
+    # Back to [G, 128]: per grid row, transpose its column slice.
+    hit_acc = jnp.concatenate(
+        [
+            jnp.transpose(hit_cols[g * ROW : (g + 1) * ROW, :])
+            for g in range(G)
+        ],
+        axis=0,
+    )
+
+    idx = idx_ref[:]
+    hot = hit_acc > 0.0
+    b_idx, b_err, count = _compact(
+        ~hot,
+        idx.astype(jnp.float32),
+        err_ref[:],
+        Cr,
+        G,
+        dump=0.0,
+    )
+    cold_idx_ref[:] = b_idx.astype(jnp.int32)
+    cold_err_ref[:] = b_err
+    cnt_ref[0, 0] = count
+
+
+@functools.partial(jax.jit, static_argnames=("K", "Cr", "interpret"))
+def _scatter_call(idx2, err2, hot2, K, Cr, interpret):
+    G = idx2.shape[0]
+    n_blocks = G // G_BLK
+    return pl.pallas_call(
+        functools.partial(_scatter_kernel, G=G_BLK, Cr=Cr, K=K),
+        grid=(n_blocks,),
+        out_shape=(
+            jax.ShapeDtypeStruct((K, 7 * ROW), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks * Cr, ROW), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks * Cr, ROW), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, 1), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(
+                (G_BLK, ROW), lambda g: (g, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (G_BLK, ROW), lambda g: (g, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, K), lambda g: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            # Same block every step: stays VMEM-resident, accumulates
+            # across the sequential grid (ops/tables.py pattern).
+            pl.BlockSpec(
+                (K, 7 * ROW), lambda g: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (Cr, ROW), lambda g: (g, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (Cr, ROW), lambda g: (g, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1), lambda g: (g, 0), memory_space=pltpu.SMEM
+            ),
+        ),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(idx2, err2, hot2)
+
+
+def cached_scatter_stats(
+    hot_rows: jax.Array,
+    idx: jax.Array,
+    err: jax.Array,
+    *,
+    prefix_rows: int,
+    cold_capacity_rows: int = 32,
+):
+    """Windowed TD statistics, split hot/cold for a hot-prefix table.
+
+    Returns ``(err_sum, abs_sum, hits)`` each ``f32[K, 128]`` over the
+    PREFIX (physical slot space), plus compacted cold residue
+    ``(cold_idx int32[M], cold_err f32[M], overflow bool)`` in LOGICAL
+    index space. Exactness: per-contribution values are exact (bf16
+    limbs); collision sums are reassociated relative to an XLA
+    scatter-add (parity up to f32 rounding, as in ``ops/tables.py``);
+    ``hits`` counts ``err != 0`` exactly. Zero-padding contributes
+    nothing (zero limbs, live=0).
+    """
+    flat = idx.reshape(-1).astype(jnp.int32)
+    errf = err.reshape(-1).astype(jnp.float32)
+    n = flat.shape[0]
+    pad = -n % (G_BLK * ROW)
+    # Hot padding (zero error: contributes zero limbs and live=0).
+    idx2 = jnp.concatenate(
+        [flat, jnp.full((pad,), 1, jnp.int32) * hot_rows[0] * ROW]
+    ).reshape(-1, ROW)
+    err2 = jnp.pad(errf, (0, pad)).reshape(-1, ROW)
+    K = prefix_rows
+    hot2 = hot_rows.astype(jnp.float32).reshape(1, K)
+    stats, cold_idx, cold_err, cnt = _scatter_call(
+        idx2, err2, hot2, K, cold_capacity_rows, _use_interpret()
+    )
+    err_sum = stats[:, :ROW] + stats[:, ROW : 2 * ROW] + stats[:, 2 * ROW : 3 * ROW]
+    abs_sum = (
+        stats[:, 3 * ROW : 4 * ROW]
+        + stats[:, 4 * ROW : 5 * ROW]
+        + stats[:, 5 * ROW : 6 * ROW]
+    )
+    hits = stats[:, 6 * ROW :]
+    overflow = jnp.max(cnt) > cold_capacity_rows * ROW
+    return (
+        err_sum,
+        abs_sum,
+        hits,
+        cold_idx.reshape(-1),
+        cold_err.reshape(-1),
+        overflow,
+    )

@@ -179,13 +179,24 @@ def _scatter_kernel(idx_ref, val_ref, out_ref, *, R, C, inner, stats):
         ).astype(jnp.bfloat16)
         # Channel values, each limb-split to bf16 so the matmul runs at
         # MXU bf16 rate yet accumulates the exact f32 contributions.
+        # Minor-dim insertion ([:, None]) must happen on a 32-bit type
+        # (Mosaic: "Insertion of minor dim that is not a no-op only
+        # supported for 32-bit types"), so broadcast in f32 and cast the
+        # product back — limb * {0,1} stays exactly bf16-representable.
         chans = _split3(v)
         if stats:
             chans = chans + _split3(jnp.abs(v)) + (
                 (v != 0.0).astype(jnp.bfloat16),
             )
+        oh_lo_f = oh_lo.astype(jnp.float32)
         rhs = jnp.concatenate(
-            [c[:, None] * oh_lo for c in chans], axis=1
+            [
+                (c.astype(jnp.float32)[:, None] * oh_lo_f).astype(
+                    jnp.bfloat16
+                )
+                for c in chans
+            ],
+            axis=1,
         )  # [_CHUNK, len(chans)*C] bf16; limb * 1.0 is exact
         out_ref[:] += jnp.dot(
             oh_hi_t, rhs, preferred_element_type=jnp.float32

@@ -98,11 +98,16 @@ class NTupleTrainConfig:
     # Table gather/scatter lowering: "xla" (any size), "mxu" (one-hot
     # matmul kernels, tables <= 65536 entries — see ops/tables.py), or
     # "auto", or "cached" (hot-prefix permuted tables via the Pallas
-    # gather kernel, ops/hbm_tables.py — built for the HBM-sized
-    # flagship tables). Auto resolves conservatively to "xla" until a
-    # measured TPU win flips it; "mxu"/"cached" stay explicit opt-ins
-    # so a Mosaic compile failure can't first surface in a user's
-    # training run.
+    # membership kernels, ops/hbm_tables.py — an opt-in for HBM-sized
+    # tables; see its docstring for the measured verdict). Auto picks
+    # "mxu" whenever every table qualifies (<= 65536 entries) and the
+    # backend is a real TPU: measured end-to-end on a v5e chip
+    # (benchmarks/mxu_trainer_r4.json, SJ_2X4, B=1024): step mode
+    # 1765k vs 307k steps/s (5.7x), delayed 1754k vs 743k (2.4x).
+    # Big-table networks (the 4x6 flagship) resolve to "xla" — the
+    # measured in-program XLA rates (1.75ns/elem gather, 10.7ns/elem
+    # scatter; benchmarks/bench_tables.py round-4 correction) leave no
+    # profitable kernel at VMEM-feasible prefix sizes.
     table_backend: str = "auto"
     # backend="cached" knobs: hot-prefix rows per table and how often
     # (in updates) the permutation is re-derived from the TC heat.
@@ -112,7 +117,15 @@ class NTupleTrainConfig:
     def network_config(self) -> ntuple_lib.NTupleConfig:
         backend = self.table_backend
         if backend == "auto":
-            backend = "xla"
+            from rein48_tpu.ops import tables as table_ops
+
+            small = all(
+                table_ops.supports_mxu(ntuple_lib.BASE ** len(t))
+                for t in self.tuples
+            )
+            backend = (
+                "mxu" if small and jax.default_backend() != "cpu" else "xla"
+            )
         return ntuple_lib.NTupleConfig(
             tuples=tuple(tuple(int(c) for c in t) for t in self.tuples),
             symmetric=self.symmetric,

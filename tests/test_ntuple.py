@@ -682,10 +682,19 @@ class TestCachedBackend:
             np.asarray(sx.env.boards), np.asarray(sc.env.boards)
         )
         # ...and identical learned tables under the logical view.
+        # Step mode routes through the same XLA ops (bit-exact); delayed
+        # mode's hot stats come from the kernel's bf16-limb matmuls,
+        # whose collision sums are reassociated relative to an XLA
+        # scatter-add — exact per contribution, last-ulp on sums (same
+        # caveat as ops/tables.py mxu_scatter_sum).
+        exact = mode == "step"
         for i in range(2):
-            np.testing.assert_array_equal(
-                np.asarray(sx.params[f"t{i}"]), self._logical(sc.params, i)
-            )
+            a = np.asarray(sx.params[f"t{i}"])
+            b = self._logical(sc.params, i)
+            if exact:
+                np.testing.assert_array_equal(a, b)
+            else:
+                np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
     def test_value_equals_across_refresh(self):
         from rein48_tpu.engine import vector
