@@ -45,6 +45,10 @@ from rein48_tpu.utils.profiling import force
 NUM_ENVS = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 NUM_STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 16384
 CHUNK = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+# Host-side launch chunking: the worker dies under single launches that
+# run many minutes (round-4 finding), so the sweep runs as short
+# launches with the carry threaded on-device.
+LAUNCH_CHUNK = int(sys.argv[4]) if len(sys.argv) > 4 else 512
 
 ckpt = Checkpointer("ckpt/ntuple_tpu")
 saved = ckpt.load_config() or {}
@@ -104,6 +108,7 @@ t0 = time.perf_counter()
 stats = evaluate_ntuple(
     params, config, depth=1, num_envs=NUM_ENVS, num_steps=NUM_STEPS,
     seed=124, protocol="first", chance_chunk=CHUNK,
+    launch_chunk=LAUNCH_CHUNK,
 )
 stats["wall_sec"] = round(time.perf_counter() - t0, 1)
 stats["num_envs"], stats["num_steps"] = NUM_ENVS, NUM_STEPS

@@ -34,6 +34,7 @@ from rein48_tpu.utils.checkpoint import Checkpointer
 NUM_ENVS = int(sys.argv[1]) if len(sys.argv) > 1 else 512
 NUM_STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 16384
 CHUNK = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+LAUNCH_CHUNK = int(sys.argv[4]) if len(sys.argv) > 4 else 512
 
 ckpt = Checkpointer("ckpt/ppo_flagship_tpu")
 saved = ckpt.load_config() or {}
@@ -77,7 +78,7 @@ stats = evaluate_search(
     model=model, params=state.params,
     obs_encoding=config.obs_encoding, gamma=config.gamma,
     reward_transform=config.reward_transform,
-    chance_chunk=CHUNK, protocol="first",
+    chance_chunk=CHUNK, protocol="first", launch_chunk=LAUNCH_CHUNK,
 )
 stats["wall_sec"] = round(time.perf_counter() - t0, 1)
 stats["num_envs"], stats["num_steps"] = NUM_ENVS, NUM_STEPS

@@ -214,20 +214,8 @@ def _search_rollout(params, start_state, *, policy_fn, num_steps):
 
 
 @functools.partial(jax.jit, static_argnames=("policy_fn", "num_steps"))
-def _first_episode_rollout(params, start_state, *, policy_fn, num_steps):
-    """First-episode capability sweep: exactly B episodes, no length bias.
-
-    The windowed protocol (:func:`_search_rollout` + ``_episode_stats``)
-    counts episodes that COMPLETE within the sweep — which systematically
-    drops the longest (= strongest: in 2048, reaching a higher tile takes
-    proportionally more moves) episodes still running at the end, biasing
-    attainment fractions DOWN for strong agents. Here each env contributes
-    its first episode and nothing else; envs whose first episode outlives
-    the sweep are credited with their live score/max-tile, which only
-    under-counts (a lower bound — the episode would have finished at least
-    this high). ``unfinished`` in the stats says how much truncation
-    happened; size ``num_steps`` so it is ~0.
-    """
+def _first_episode_segment(params, carry, *, policy_fn, num_steps):
+    """``num_steps`` scanned steps of the first-episode sweep (one launch)."""
 
     def body(carry, _):
         st, acc = carry
@@ -243,6 +231,34 @@ def _first_episode_rollout(params, start_state, *, policy_fn, num_steps):
         }
         return (st2, acc), None
 
+    carry, _ = jax.lax.scan(body, carry, None, length=num_steps)
+    return carry
+
+
+def _first_episode_rollout(
+    params, start_state, *, policy_fn, num_steps, launch_chunk=None
+):
+    """First-episode capability sweep: exactly B episodes, no length bias.
+
+    The windowed protocol (:func:`_search_rollout` + ``_episode_stats``)
+    counts episodes that COMPLETE within the sweep — which systematically
+    drops the longest (= strongest: in 2048, reaching a higher tile takes
+    proportionally more moves) episodes still running at the end, biasing
+    attainment fractions DOWN for strong agents. Here each env contributes
+    its first episode and nothing else; envs whose first episode outlives
+    the sweep are credited with their live score/max-tile, which only
+    under-counts (a lower bound — the episode would have finished at least
+    this high). ``unfinished`` in the stats says how much truncation
+    happened; size ``num_steps`` so it is ~0.
+
+    ``launch_chunk`` splits the sweep into multiple jit launches of that
+    many steps with the carry threaded on-device between them. The math
+    is identical (a scan of scans); it exists because this environment's
+    TPU worker reproducibly dies under single launches that run for many
+    minutes (both the depth-1 planner and a ResNet-leaf tree at full
+    eval scale crashed ~6-8 min into their one launch, while the same
+    programs at probe scale run clean — see BASELINE.md round 4).
+    """
     B = start_state.score.shape[0]
     init = {
         "finished": jnp.zeros((B,), bool),
@@ -251,9 +267,22 @@ def _first_episode_rollout(params, start_state, *, policy_fn, num_steps):
         "length": jnp.zeros((B,), jnp.int32),
         "max_tile": jnp.zeros((B,), jnp.float32),
     }
-    (final, acc), _ = jax.lax.scan(
-        body, (start_state, init), None, length=num_steps
-    )
+    carry = (start_state, init)
+    if launch_chunk is None or launch_chunk >= num_steps:
+        carry = _first_episode_segment(
+            params, carry, policy_fn=policy_fn, num_steps=num_steps
+        )
+    else:
+        whole, rem = divmod(num_steps, launch_chunk)
+        for _ in range(whole):
+            carry = _first_episode_segment(
+                params, carry, policy_fn=policy_fn, num_steps=launch_chunk
+            )
+        if rem:
+            carry = _first_episode_segment(
+                params, carry, policy_fn=policy_fn, num_steps=rem
+            )
+    final, acc = carry
 
     # Envs still inside their first episode: credit the live episode as a
     # lower bound (max tile never decreases; score only grows).
@@ -294,6 +323,7 @@ def evaluate_search(
     reward_transform: str = "log2",
     chance_chunk: int | None = None,
     protocol: str = "window",
+    launch_chunk: int | None = None,
 ) -> Dict[str, float]:
     """Play the expectimax planner (``control/search.py``) in lockstep.
 
@@ -310,11 +340,16 @@ def evaluate_search(
         depth, model, obs_encoding, gamma, reward_transform, chance_chunk
     )
     state = vector.reset_batch(jax.random.key(seed), num_envs)
-    rollout = {
-        "window": _search_rollout,
-        "first": _first_episode_rollout,
-    }[protocol]
-    _, stats = rollout(
-        params, state, policy_fn=policy_fn, num_steps=num_steps
-    )
+    if protocol == "first":
+        _, stats = _first_episode_rollout(
+            params,
+            state,
+            policy_fn=policy_fn,
+            num_steps=num_steps,
+            launch_chunk=launch_chunk,
+        )
+    else:
+        _, stats = _search_rollout(
+            params, state, policy_fn=policy_fn, num_steps=num_steps
+        )
     return {k: float(v) for k, v in stats.items()}

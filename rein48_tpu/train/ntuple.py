@@ -486,6 +486,7 @@ def evaluate_ntuple(
     seed: int = 0,
     protocol: str = "window",
     chance_chunk: int | None = None,
+    launch_chunk: int | None = None,
 ) -> Dict[str, float]:
     """Greedy (or expectimax-boosted) evaluation sweep.
 
@@ -502,11 +503,16 @@ def evaluate_ntuple(
         config = config.network_config()
     policy_fn = _get_ntuple_policy(config, depth, chance_chunk)
     state = vector.reset_batch(jax.random.key(seed), num_envs)
-    rollout = {
-        "window": evaluate._search_rollout,
-        "first": evaluate._first_episode_rollout,
-    }[protocol]
-    _, stats = rollout(
-        params, state, policy_fn=policy_fn, num_steps=num_steps
-    )
+    if protocol == "first":
+        _, stats = evaluate._first_episode_rollout(
+            params,
+            state,
+            policy_fn=policy_fn,
+            num_steps=num_steps,
+            launch_chunk=launch_chunk,
+        )
+    else:
+        _, stats = evaluate._search_rollout(
+            params, state, policy_fn=policy_fn, num_steps=num_steps
+        )
     return {k: float(v) for k, v in stats.items()}
