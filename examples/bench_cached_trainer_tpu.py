@@ -34,14 +34,20 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 from rein48_tpu.train.ntuple import NTupleTrainConfig, train_ntuple
 
 UPDATES = int(sys.argv[1]) if len(sys.argv) > 1 else 60
+ALL_LEGS = {
+    "xla_b1024": ("xla", 1024),
+    "cached_b1024": ("cached", 1024),
+    "xla_b4096": ("xla", 4096),
+    "cached_b4096": ("cached", 4096),
+}
+CHOSEN = sys.argv[2:] or ["xla_b1024", "cached_b1024"]
 
 results = {}
-for name, backend, batch in (
-    ("xla_b1024", "xla", 1024),
-    ("cached_b1024", "cached", 1024),
-    ("xla_b4096", "xla", 4096),
-    ("cached_b4096", "cached", 4096),
-):
+if os.path.exists("benchmarks/cached_trainer_r4.json"):
+    with open("benchmarks/cached_trainer_r4.json") as f:
+        results = json.load(f)
+for name in CHOSEN:
+    backend, batch = ALL_LEGS[name]
     config = NTupleTrainConfig(
         batch_size=batch,
         steps_per_update=128,

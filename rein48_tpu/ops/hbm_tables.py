@@ -50,6 +50,19 @@ The reference has no analogue of any of this (its value functions are
 tiny TF1 dense nets, ``/root/reference/algorithm/a3c/a3c.py:136-169``);
 this is TPU-era performance engineering for the framework's added
 n-tuple family (``agents/ntuple.py``).
+
+MEASURED VERDICT (round 4, v5e chip; benchmarks/cached_trainer_r4.json):
+the flagship delayed/4 trainer runs at 86.8k env-steps/s with this
+backend vs 204.7k with plain XLA — the membership compare/accumulate
+work (O(K) per element on VPU/MXU, plus ~14us of VMEM read+write per
+[K, 7*ROW] accumulator touch) loses to XLA's in-program serial ops
+(1.75 ns/elem gather, 10.7 ns/elem scatter; see
+benchmarks/bench_tables.py round-4 correction — the "47M elem/s
+ceiling" that motivated this design was a per-launch tunnel artifact).
+The backend stays a correct, tested, Mosaic-compilable opt-in
+(``table_backend="cached"``) and a record of what this hardware
+generation's kernel toolbox can and cannot do; the flagship default is
+``xla``.
 """
 
 from __future__ import annotations
@@ -135,12 +148,15 @@ def _split3(v):
     return l1, l2, l3
 
 
-def _compact(mask, pay1, pay2, Cr, G, dump):
+def _compact(mask, pay1, pay2, Cr, G, dump, scratch):
     """Compact masked (pay1, pay2) f32 pairs into ``[Cr, ROW]`` buffers.
 
     Positions are exact ranks (prefix sums via triangular matmuls), so
     placement one-hots never collide. Unused slots hold (0, dump).
-    Returns ``(buf1, buf2, count)``.
+    ``scratch`` is a ``f32[5, G, ROW]`` VMEM ref staging the per-element
+    fields so the placement loop can be a fori_loop with ref slicing
+    (value dynamic_slice doesn't lower, and a python-unrolled loop blows
+    the 16MB scoped-VMEM stack). Returns ``(buf1, buf2, count)``.
     """
     m = mask.astype(jnp.float32)
     tri_l = (_iota2(ROW, ROW, 0) < _iota2(ROW, ROW, 1)).astype(jnp.float32)
@@ -156,24 +172,23 @@ def _compact(mask, pay1, pay2, Cr, G, dump):
     pr = pos >> 7
     plane = pos & (ROW - 1)
 
-    buf1 = jnp.zeros((Cr, ROW), jnp.float32)
-    buf2 = jnp.zeros((Cr, ROW), jnp.float32)
+    scratch[0, :, :] = ok.astype(jnp.float32)
+    scratch[1, :, :] = pr.astype(jnp.float32)
+    scratch[2, :, :] = plane.astype(jnp.float32)
+    scratch[3, :, :] = pay1
+    scratch[4, :, :] = pay2
 
-    # One 128-element grid row per step (static python loop: Mosaic has
-    # no dynamic_slice on values, and cross-dimension reshapes like
-    # [BLK, 128] -> [BLK*128] don't lower either). Row data moves to the
-    # sublane axis by 2D transpose, which does lower.
-    okf = ok.astype(jnp.float32)
-    for g in range(G):
-        okc = jnp.transpose(okf[g : g + 1, :])  # [128e, 1]
-        prc = jnp.transpose(pr[g : g + 1, :])
-        plc = jnp.transpose(plane[g : g + 1, :])
-        p1c = jnp.transpose(pay1[g : g + 1, :])
-        p2c = jnp.transpose(pay2[g : g + 1, :])
+    def row_body(g, bufs):
+        buf1, buf2 = bufs
+        okr = scratch[0, pl.ds(g, 1), :]  # [1, 128]
+        prr = scratch[1, pl.ds(g, 1), :]
+        plc = jnp.transpose(scratch[2, pl.ds(g, 1), :]).astype(jnp.int32)
+        p1c = jnp.transpose(scratch[3, pl.ds(g, 1), :])
+        p2c = jnp.transpose(scratch[4, pl.ds(g, 1), :])
         a = (
-            jax.lax.broadcasted_iota(jnp.int32, (Cr, ROW), 0)
-            == jnp.transpose(prc)
-        ).astype(jnp.float32) * jnp.transpose(okc)  # [Cr, 128e]
+            _iota2(Cr, ROW, 0).astype(jnp.float32) == prr
+        ).astype(jnp.float32) * okr  # [Cr, 128e] (int iota: f32 iota
+        # doesn't lower in Mosaic; row ranks are f32-exact small ints)
         lane_oh = (
             jax.lax.broadcasted_iota(jnp.int32, (ROW, ROW), 1) == plc
         ).astype(jnp.float32)  # [128e, 128l]
@@ -183,6 +198,15 @@ def _compact(mask, pay1, pay2, Cr, G, dump):
         buf2 = buf2 + jnp.dot(
             a, lane_oh * p2c, preferred_element_type=jnp.float32
         )
+        return buf1, buf2
+
+    buf1, buf2 = jax.lax.fori_loop(
+        0,
+        G,
+        row_body,
+        (jnp.zeros((Cr, ROW), jnp.float32), jnp.zeros((Cr, ROW), jnp.float32)),
+        unroll=False,
+    )
     filled = (
         jax.lax.broadcasted_iota(jnp.int32, (Cr, ROW), 0) * ROW
         + jax.lax.broadcasted_iota(jnp.int32, (Cr, ROW), 1)
@@ -205,6 +229,7 @@ def _gather_kernel(
     cold_idx_ref,
     cold_pos_ref,
     cnt_ref,
+    compact_scratch,
     *,
     G,
     Cr,
@@ -218,11 +243,16 @@ def _gather_kernel(
     # the sublane axis by 2D transpose (Mosaic lowers transposes but not
     # cross-dimension reshapes), membership masks concatenate along
     # sublanes, and one [BATCH*128, K] x [K, 3*ROW] matmul serves all.
+    # The batch loop is a fori_loop, NOT a python loop: Mosaic allocates
+    # every unrolled iteration's temporaries on one scoped-VMEM stack
+    # (16MB limit), so static unrolling OOMs the kernel at compile time.
     BATCH = 8
-    for b in range(G // BATCH):
+
+    def batch_body(b, _):
+        base = b * BATCH
         masks, planes = [], []
-        for g in range(b * BATCH, (b + 1) * BATCH):
-            idx = idx_ref[g : g + 1, :]  # [1, 128]
+        for j in range(BATCH):
+            idx = idx_ref[pl.ds(base + j, 1), :]  # [1, 128]
             lrow_c = jnp.transpose((idx >> 7).astype(jnp.float32))
             planes.append(jnp.transpose(idx & (ROW - 1)))  # [128, 1]
             masks.append((lrow_c == hot_row).astype(jnp.bfloat16))
@@ -233,17 +263,19 @@ def _gather_kernel(
         )  # [BATCH*128, ROW]: element's full hot row (or zeros)
         hit = jnp.sum(mask.astype(jnp.float32), axis=1, keepdims=True)
         for j in range(BATCH):
-            g = b * BATCH + j
             vr = vrow[j * ROW : (j + 1) * ROW, :]  # [128e, 128l]
             sel = jnp.take_along_axis(
                 vr,
                 jnp.broadcast_to(planes[j], (ROW, ROW)),
                 axis=1,
             )[:, :1]  # [128e, 1]
-            vals_ref[g : g + 1, :] = jnp.transpose(sel)
-            hit_ref[g : g + 1, :] = jnp.transpose(
+            vals_ref[pl.ds(base + j, 1), :] = jnp.transpose(sel)
+            hit_ref[pl.ds(base + j, 1), :] = jnp.transpose(
                 hit[j * ROW : (j + 1) * ROW, :]
             )
+        return 0
+
+    jax.lax.fori_loop(0, G // BATCH, batch_body, 0, unroll=False)
 
     idx = idx_ref[:]
     hot = hit_ref[:] > 0.0
@@ -260,10 +292,11 @@ def _gather_kernel(
         Cr,
         G,
         dump=G * ROW * pl.num_programs(0),
+        scratch=compact_scratch,
     )
     cold_idx_ref[:] = b_idx.astype(jnp.int32)
     cold_pos_ref[:] = b_pos.astype(jnp.int32)
-    cnt_ref[0, 0] = count
+    cnt_ref[:, :] = jnp.full((8, ROW), count, jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("K", "Cr", "interpret"))
@@ -278,7 +311,7 @@ def _gather_call(idx2, hot2, prefix, K, Cr, interpret):
             jax.ShapeDtypeStruct((G, ROW), jnp.float32),
             jax.ShapeDtypeStruct((n_blocks * Cr, ROW), jnp.int32),
             jax.ShapeDtypeStruct((n_blocks * Cr, ROW), jnp.int32),
-            jax.ShapeDtypeStruct((n_blocks, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks * 8, ROW), jnp.float32),
         ),
         in_specs=[
             pl.BlockSpec(
@@ -304,10 +337,13 @@ def _gather_call(idx2, hot2, prefix, K, Cr, interpret):
             pl.BlockSpec(
                 (Cr, ROW), lambda g: (g, 0), memory_space=pltpu.VMEM
             ),
+            # Count "scalar" broadcast over one (8, 128) tile per block
+            # (Pallas TPU block sublane granularity).
             pl.BlockSpec(
-                (1, 1), lambda g: (g, 0), memory_space=pltpu.SMEM
+                (8, ROW), lambda g: (g, 0), memory_space=pltpu.VMEM
             ),
         ),
+        scratch_shapes=[pltpu.VMEM((5, G_BLK, ROW), jnp.float32)],
         interpret=pltpu.InterpretParams() if interpret else False,
     )(idx2, hot2, prefix)
 
@@ -382,6 +418,8 @@ def _scatter_kernel(
     cold_idx_ref,
     cold_err_ref,
     cnt_ref,
+    hit_scratch,
+    compact_scratch,
     *,
     G,
     Cr,
@@ -395,14 +433,18 @@ def _scatter_kernel(
 
     # Batch BATCH grid rows per stats accumulation: the [K, 7*ROW] f32
     # accumulator pays a full VMEM read+write per touch (measured ~14us
-    # at K=2048), so contributions concatenate across rows first.
+    # at K=2048), so contributions concatenate across rows first. A
+    # fori_loop (see the gather kernel note on scoped-VMEM stacks);
+    # per-element hit counts land in a scratch ref.
     BATCH = 8
-    hits_rows = []
-    for b in range(G // BATCH):
-        maskTs, rhss = [], []
-        for g in range(b * BATCH, (b + 1) * BATCH):
-            idx = idx_ref[g : g + 1, :]  # [1, 128]
-            err = err_ref[g : g + 1, :]
+
+    def batch_body(b, _):
+        base = b * BATCH
+        maskTs = []
+        rhss = []
+        for j in range(BATCH):
+            idx = idx_ref[pl.ds(base + j, 1), :]  # [1, 128]
+            err = err_ref[pl.ds(base + j, 1), :]
             lrow_r = (idx >> 7).astype(jnp.float32)  # [1, 128]
             plane_c = jnp.transpose(idx & (ROW - 1))  # [128, 1]
             maskTs.append((hot_col == lrow_r).astype(jnp.bfloat16))
@@ -423,21 +465,17 @@ def _scatter_kernel(
         stats_ref[:] += jnp.dot(
             maskT, rhs, preferred_element_type=jnp.float32
         )
-        hits_rows.append(
-            jnp.transpose(
-                jnp.sum(maskT.astype(jnp.float32), axis=0, keepdims=True)
-            )
-        )  # [BATCH*128, 1] -> stacked later
+        hits = jnp.sum(
+            maskT.astype(jnp.float32), axis=0, keepdims=True
+        )  # [1, BATCH*128]
+        for j in range(BATCH):
+            hit_scratch[pl.ds(base + j, 1), :] = hits[
+                :, j * ROW : (j + 1) * ROW
+            ]
+        return 0
 
-    hit_cols = jnp.concatenate(hits_rows, axis=0)  # [G*128, 1]
-    # Back to [G, 128]: per grid row, transpose its column slice.
-    hit_acc = jnp.concatenate(
-        [
-            jnp.transpose(hit_cols[g * ROW : (g + 1) * ROW, :])
-            for g in range(G)
-        ],
-        axis=0,
-    )
+    jax.lax.fori_loop(0, G // BATCH, batch_body, 0, unroll=False)
+    hit_acc = hit_scratch[:]
 
     idx = idx_ref[:]
     hot = hit_acc > 0.0
@@ -448,10 +486,11 @@ def _scatter_kernel(
         Cr,
         G,
         dump=0.0,
+        scratch=compact_scratch,
     )
     cold_idx_ref[:] = b_idx.astype(jnp.int32)
     cold_err_ref[:] = b_err
-    cnt_ref[0, 0] = count
+    cnt_ref[:, :] = jnp.full((8, ROW), count, jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("K", "Cr", "interpret"))
@@ -465,7 +504,7 @@ def _scatter_call(idx2, err2, hot2, K, Cr, interpret):
             jax.ShapeDtypeStruct((K, 7 * ROW), jnp.float32),
             jax.ShapeDtypeStruct((n_blocks * Cr, ROW), jnp.int32),
             jax.ShapeDtypeStruct((n_blocks * Cr, ROW), jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks * 8, ROW), jnp.float32),
         ),
         in_specs=[
             pl.BlockSpec(
@@ -490,10 +529,16 @@ def _scatter_call(idx2, err2, hot2, K, Cr, interpret):
             pl.BlockSpec(
                 (Cr, ROW), lambda g: (g, 0), memory_space=pltpu.VMEM
             ),
+            # Count "scalar" broadcast over one (8, 128) tile per block
+            # (Pallas TPU block sublane granularity).
             pl.BlockSpec(
-                (1, 1), lambda g: (g, 0), memory_space=pltpu.SMEM
+                (8, ROW), lambda g: (g, 0), memory_space=pltpu.VMEM
             ),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((G_BLK, ROW), jnp.float32),
+            pltpu.VMEM((5, G_BLK, ROW), jnp.float32),
+        ],
         interpret=pltpu.InterpretParams() if interpret else False,
     )(idx2, err2, hot2)
 

@@ -111,7 +111,11 @@ class NTupleTrainConfig:
     table_backend: str = "auto"
     # backend="cached" knobs: hot-prefix rows per table and how often
     # (in updates) the permutation is re-derived from the TC heat.
-    cache_prefix_rows: int = 8192
+    # 2048 rows keeps all four tables' kernel working sets (the [K,896]
+    # scatter accumulator dominates) inside the chip's 128MB VMEM; 8192
+    # compiles per-table but OOMs VMEM with four tables fused into one
+    # update program.
+    cache_prefix_rows: int = 2048
     cache_refresh_every: int = 50
 
     def network_config(self) -> ntuple_lib.NTupleConfig:
