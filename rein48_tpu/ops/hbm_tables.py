@@ -76,7 +76,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 ROW = 128  # table row width == lane count
 G_BLK = 128  # element rows per grid step (16384 elements)
-SUB = 512  # elements per membership sub-chunk (4 grid rows)
 
 
 def _use_interpret() -> bool:
