@@ -67,9 +67,13 @@ import json
 
 results = {}
 for depth, envs, steps in ((0, 1024, 16384), (1, 256, 16384)):
+    # chance_chunk + launch_chunk: the worker dies under multi-minute
+    # single launches (round-4 finding), and depth>=1 needs the chunked
+    # chance expansion; both are mathematically identical.
     stats = evaluate_ntuple(
         state.params, config, depth=depth, num_envs=envs, num_steps=steps,
         seed=123 + depth, protocol="first",
+        chance_chunk=4 if depth else None, launch_chunk=1024 if depth else 4096,
     )
     results[f"depth{depth}"] = stats
     print(f"EVAL depth{depth} (envs={envs}, steps={steps}):", stats,
