@@ -86,9 +86,28 @@ class PPOConfig:
     # minibatch gathers never cross the "dp"-sharded env axis (mesh-safe).
     # False => full [T*B] permutation (single-device only; lower variance).
     shard_friendly_perm: bool = True
+    # --- Afterstate critic (VERDICT r4 item 1) ---------------------------
+    # The planner (control/search.py) backs values up through PRE-spawn
+    # afterstates, but the PPO critic is trained on POST-spawn states —
+    # the round-4 measurement showed value-guided depth-1 search LOSING to
+    # the greedy policy head for exactly this mismatch (BASELINE.md r4).
+    # With afterstate_critic=True the trainer co-trains a second,
+    # SEPARATE value network V_after on the rollout's afterstates with
+    # TD(lambda) targets (the n-tuple recipe, train/ntuple.py:209-251,
+    # applied to a dense net): V_after(as_t) regresses onto the GAE
+    # return of s_{t+1}, cut at episode bounds, so the planner backup
+    # q(a) = r(a) + gamma * V_after(after(s, a)) is Bellman-consistent.
+    # Params become {"policy": ..., "after": ...} (one optimizer).
+    afterstate_critic: bool = False
+    after_model: str = "resnet"
+    after_model_kwargs: Tuple[Tuple[str, Any], ...] = ()
+    after_coef: float = 0.5
 
     def make_model(self) -> Any:
         return nets.make_model(self.model, **dict(self.model_kwargs))
+
+    def make_after_model(self) -> Any:
+        return nets.make_model(self.after_model, **dict(self.after_model_kwargs))
 
     def make_learning_rate(self):
         """Scalar lr, or a cosine-decay optax schedule when configured."""
@@ -111,6 +130,9 @@ class PPOTransition:
     legal_mask: jax.Array  # mask at s_t; the loss re-masks identically
     behavior_logp: jax.Array  # log pi(a_t | s_t) at sampling time
     behavior_value: jax.Array  # V(s_t) at sampling time
+    # uint8[B, 4, 4] pre-spawn afterstate of (s_t, a_t); None unless
+    # config.afterstate_critic (None is pytree-transparent in the scan).
+    after_boards: Any = None
 
 
 @struct.dataclass
@@ -133,6 +155,10 @@ def init_ppo(
         config.obs_encoding,
     )
     params = model.init(k_param, obs)["params"]
+    if config.afterstate_critic:
+        k_param, k_after = jax.random.split(k_param)
+        after_params = config.make_after_model().init(k_after, obs)["params"]
+        params = {"policy": params, "after": after_params}
     optimizer = common.make_optimizer(
         config.optimizer,
         config.make_learning_rate(),
@@ -173,13 +199,25 @@ def make_ppo_step(
             f"num_minibatches={M} (minibatches slice the time axis)"
         )
 
+    after_model = config.make_after_model() if config.afterstate_critic else None
+
+    def policy_params(params):
+        return params["policy"] if config.afterstate_critic else params
+
     def policy(params, boards):
         obs = common.encode_obs(boards, config.obs_encoding)
         # train=False throughout: the clipped ratio must compare the SAME
         # deterministic policy across epochs (stochastic dropout would
         # corrupt it). The MLP's dropout is a reference no-op anyway
         # (a3c.py:147,160 — see models/nets.py).
-        return model.apply({"params": params}, obs, train=False)
+        return model.apply({"params": policy_params(params)}, obs, train=False)
+
+    def after_value(params, boards):
+        obs = common.encode_obs(boards, config.obs_encoding)
+        out = after_model.apply({"params": params["after"]}, obs, train=False)
+        # Policy-net modules return (logits, value); the value head IS the
+        # afterstate critic (the logits head is unused, and tiny).
+        return out[1] if isinstance(out, tuple) else out
 
     def step_fn(state: PPOTrainState) -> Tuple[PPOTrainState, dict]:
         key, k_roll, k_learn = jax.random.split(state.key, 3)
@@ -213,6 +251,13 @@ def make_ppo_step(
                 logp, actions[..., None], axis=-1
             )[..., 0]
             env2, out = vector.step_autoreset(env, actions, config.reward_mode)
+            if config.afterstate_critic:
+                # Pre-spawn afterstate of (s_t, a_t): recomputing the move
+                # is a few VPU ops — far cheaper than threading it out of
+                # the fused autoreset step.
+                after_boards, _, _ = core.move_boards(env.boards, actions)
+            else:
+                after_boards = None
             trans = PPOTransition(
                 boards=env.boards,
                 actions=actions,
@@ -223,6 +268,7 @@ def make_ppo_step(
                 legal_mask=mask,
                 behavior_logp=logp_a,
                 behavior_value=value,
+                after_boards=after_boards,
             )
             info = {
                 "episodes": out.done.astype(jnp.float32),
@@ -245,15 +291,28 @@ def make_ppo_step(
             config.gae_lambda,
             dones=traj.dones,
         )
-        data = (traj, advantages, returns)  # all [T, B, ...]
+        if config.afterstate_critic:
+            # V_after(as_t) ~ E_spawn[V(s_{t+1})]: regress onto the GAE
+            # return of s_{t+1} (bootstrap V(s_T) past the horizon), cut
+            # to 0 where the episode ended — a terminal afterstate has no
+            # future reward, and the post-reset return must not leak in.
+            # The planner then discounts it itself:
+            # q(a) = r(a) + gamma * V_after(after(s, a))  (search.py).
+            cont = 1.0 - traj.dones.astype(returns.dtype)
+            after_targets = cont * jnp.concatenate(
+                [returns[1:], bootstrap[None]], axis=0
+            )
+        else:
+            after_targets = None
+        data = (traj, advantages, returns, after_targets)  # all [T, B, ...]
 
         def minibatch_loss(params, mb):
-            tr, adv, ret = mb
+            tr, adv, ret, after_targ = mb
             logits, values = policy(params, tr.boards)
             logits = a3c_agent.masked_logits(logits, tr.legal_mask)
             if config.normalize_advantage:
                 adv = (adv - jnp.mean(adv)) / (jnp.std(adv) + 1e-6)
-            return ppo_agent.ppo_loss(
+            loss, aux = ppo_agent.ppo_loss(
                 logits,
                 values,
                 tr.actions,
@@ -263,6 +322,15 @@ def make_ppo_step(
                 ret,
                 step_loss_cfg,
             )
+            if config.afterstate_critic:
+                v_after = after_value(params, tr.after_boards)
+                after_loss = jnp.mean(
+                    jnp.square(v_after - jax.lax.stop_gradient(after_targ))
+                )
+                loss = loss + config.after_coef * after_loss
+                aux["after_loss"] = after_loss
+                aux["loss"] = loss
+            return loss, aux
 
         def sgd_step(carry, mb):
             params, opt_state = carry
@@ -345,8 +413,16 @@ def train_ppo(
     log_every: int = 10,
     logger=None,
     checkpointer=None,
+    warm_start_policy=None,
 ) -> Tuple[PPOTrainState, list]:
-    """Host driver: jit the step (optionally mesh-sharded) and loop."""
+    """Host driver: jit the step (optionally mesh-sharded) and loop.
+
+    ``warm_start_policy``: optional policy-net param tree to start from
+    (e.g. a prior flagship checkpoint's params via
+    ``Checkpointer.restore_field("params")``) — applied only when there is
+    no checkpoint of THIS run to resume; with ``afterstate_critic`` it
+    fills the "policy" subtree and the afterstate net starts fresh.
+    """
     from rein48_tpu.parallel import mesh as mesh_lib
 
     state, model, optimizer = init_ppo(config, jax.random.key(seed))
@@ -361,6 +437,14 @@ def train_ppo(
             f"resumed from checkpoint step {int(state.update_step)}",
             flush=True,
         )
+    elif warm_start_policy is not None:
+        params = (
+            {"policy": warm_start_policy, "after": state.params["after"]}
+            if config.afterstate_critic
+            else warm_start_policy
+        )
+        state = dataclasses.replace(state, params=jax.device_put(params))
+        print("warm-started policy params", flush=True)
     step_fn = make_ppo_step(config, model, optimizer)
 
     if mesh is not None:
@@ -390,6 +474,11 @@ def train_ppo(
                 "entropy": m["entropy"],
                 "approx_kl": m["approx_kl_last"],
                 "clip_frac": m["clip_frac"],
+                **(
+                    {"after_loss": m["after_loss"]}
+                    if "after_loss" in m
+                    else {}
+                ),
                 "grad_norm": m["grad_norm"],
                 "episodes": m["episodes"],
                 "avg_episode_tile_sum": m["episode_tile_sum_sum"] / eps,
