@@ -258,8 +258,14 @@ import functools
 
 @functools.partial(jax.jit, static_argnames=("reps",))
 def _inprog_gather(table, idx, reps):
+    # The gather must DEPEND on the carry or while-loop invariant code
+    # motion could hoist it and the timing would cover < reps gathers
+    # (ADVICE r4). acc stays ~1e-3, so int32(acc * 1e-30) is 0 at runtime
+    # every iteration — but not provably so at compile time (x - x would
+    # be algebraically simplified; a float->int cast of a carry isn't).
     def body(i, acc):
-        return acc + jnp.sum(table[idx]) * 1e-9 + i * 0.0
+        dep = jnp.asarray(acc * 1e-30, jnp.int32)
+        return acc + jnp.sum(table[idx + dep]) * 1e-9
 
     return jax.lax.fori_loop(0, reps, body, 0.0)
 

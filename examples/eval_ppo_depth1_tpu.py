@@ -70,6 +70,10 @@ probe = evaluate_search(
     chance_chunk=CHUNK, protocol="window",
 )
 probe["wall_sec"] = round(time.perf_counter() - t0, 1)
+# Not a capability measurement: a 256-step window completes ~no episodes
+# (all-zero fracs). Labeled so tooling readers can't mistake it (VERDICT
+# r4 weak item 4).
+probe["probe"] = True
 record("probe", probe)
 
 t0 = time.perf_counter()

@@ -189,9 +189,10 @@ class NTupleNetwork:
         """Zero (or optimistic) tables: ``{"t0": f32[16^k0], ...}``.
 
         backend="cached" adds per-table permutation state: ``t{i}_rm``
-        (flat logical-row -> physical-row map) and ``t{i}_rms`` (its
-        lane-hashed kernel storage). Constant-initialized tables are
-        layout-invariant, so the identity permutation is exact.
+        (flat logical-row -> physical-row map) and ``t{i}_hot`` (the
+        logical rows resident in the hot prefix, identity at init).
+        Constant-initialized tables are layout-invariant, so the
+        identity permutation is exact.
         """
         params = {
             f"t{i}": jnp.full((n,), self.config.optimistic_init, jnp.float32)

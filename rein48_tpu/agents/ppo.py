@@ -102,6 +102,35 @@ def gae(
     return advantages, advantages + values
 
 
+def afterstate_targets(
+    returns: jax.Array, bootstrap: jax.Array, dones: jax.Array
+) -> jax.Array:
+    """Regression targets for an afterstate critic V_after (VERDICT r4 #1).
+
+    The 2048 transition factors as s_t --move a_t--> afterstate as_t
+    (merge reward r_t paid here) --spawn--> s_{t+1}; define
+    ``V_after(as_t) = E_spawn[V(s_{t+1})]`` so a planner backup
+    ``q(a) = r(a) + gamma * V_after(after(s, a))`` equals Q(s, a)
+    (``control/search.py`` with ``reward_fn``/``gamma`` in critic units).
+    The sample target is therefore the NEXT step's return — ``returns``
+    shifted by one, with ``bootstrap`` = V(s_T) past the horizon — and 0
+    where the episode ended at t (a terminal afterstate has no future
+    reward, and the post-reset return must not leak across the boundary).
+    This is the n-tuple afterstate-TD recipe (``train/ntuple.py:209-251``)
+    expressed through GAE returns.
+
+    Args:
+        returns: ``float32[T, ...]`` GAE returns (targets for V(s_t)).
+        bootstrap: ``float32[...]`` V(s_T).
+        dones: ``bool[T, ...]`` episode-end flags.
+
+    Returns:
+        ``float32[T, ...]`` targets for V_after(as_t).
+    """
+    cont = 1.0 - dones.astype(returns.dtype)
+    return cont * jnp.concatenate([returns[1:], bootstrap[None]], axis=0)
+
+
 def ppo_loss(
     logits: jax.Array,
     values: jax.Array,

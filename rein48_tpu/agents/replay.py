@@ -83,6 +83,76 @@ def replay_sample(state: ReplayState, key: jax.Array, batch_size: int) -> Any:
     return jax.tree.map(lambda buf: buf[idx], state.data)
 
 
+def replay_sample_nstep(
+    state: ReplayState,
+    key: jax.Array,
+    batch_size: int,
+    *,
+    n_step: int,
+    stride: int,
+    gamma: float,
+) -> Any:
+    """Uniform n-step transition sample (VERDICT r4 item 6).
+
+    The buffer is written in batches of ``stride`` lockstep envs
+    (``train/dqn.py``), so the transition FOLLOWING slot ``i`` for the
+    same env sits at ``i + stride`` (mod capacity) — the circular layout
+    makes the n-chain a strided gather, no extra storage at write time.
+
+    Expects the DQN field contract: ``reward``/``done`` scalars and a
+    ``next_board`` per slot; every other field is taken from the chain's
+    first transition. Returns a 1-step-shaped batch with
+
+    * ``reward`` = sum_{k<n} gamma^k r_k, products of (1-done) cutting
+      the sum at the first episode end (post-reset rewards of the NEXT
+      episode never leak in);
+    * ``done``  = whether any of the n steps ended the episode;
+    * ``next_board`` = the chain-end bootstrap state s_{t+n} (garbage
+      when ``done`` — its bootstrap coefficient is 0).
+
+    Feed the result to ``dqn_loss`` with ``gamma**n_step`` as the
+    effective discount: target = R^(n) + gamma^n (1-done) max Q(s_{t+n}).
+
+    Sampling is restricted to slots whose whole chain is in the valid
+    window (neither beyond the newest write nor overwritten), uniform
+    over write age.
+    """
+    if n_step < 1:
+        raise ValueError(f"n_step must be >= 1, got {n_step}")
+    cap = state.capacity
+    if n_step * stride > cap:
+        raise ValueError(
+            f"n_step*stride={n_step * stride} exceeds capacity {cap}"
+        )
+    # Age-ordered index j in [0, size): slot (cursor - size + j) mod cap.
+    # A chain starting at j uses j, j+stride, ..., j+(n-1)*stride, all of
+    # which must stay < size.
+    n_valid = jnp.maximum(state.size - (n_step - 1) * stride, 1)
+    j = jax.random.randint(key, (batch_size,), 0, n_valid)
+    base = (state.cursor - state.size + j) % cap  # [B]
+    offs = jnp.arange(n_step, dtype=jnp.int32) * stride  # [n]
+    slots = (base[:, None] + offs[None, :]) % cap  # [B, n]
+
+    rewards = state.data["reward"][slots]  # [B, n]
+    dones = state.data["done"][slots].astype(rewards.dtype)  # [B, n]
+    # cont[k] = prod_{l<k} (1-done_l): 1, (1-d0), (1-d0)(1-d1), ...
+    cont = jnp.cumprod(1.0 - dones, axis=1)
+    cont_before = jnp.concatenate(
+        [jnp.ones_like(cont[:, :1]), cont[:, :-1]], axis=1
+    )
+    discounts = gamma ** jnp.arange(n_step, dtype=rewards.dtype)
+    reward_n = jnp.sum(rewards * cont_before * discounts, axis=1)
+    done_any = cont[:, -1] < 0.5
+
+    first = jax.tree.map(lambda buf: buf[slots[:, 0]], state.data)
+    return {
+        **first,
+        "reward": reward_n,
+        "done": done_any,
+        "next_board": state.data["next_board"][slots[:, -1]],
+    }
+
+
 def replay_filled(state: ReplayState) -> jax.Array:
     """True once the buffer has wrapped (reference ``filled()``,
     ``replay.py:15-16`` — its train-trigger condition)."""

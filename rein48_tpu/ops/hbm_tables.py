@@ -374,6 +374,15 @@ def cached_gather(
         [flat, jnp.full((pad,), 1, jnp.int32) * hot_rows[0] * ROW]
     )
     idx2 = flat_p.reshape(-1, ROW)
+    # Cold-element positions travel as f32 through _compact (posg
+    # payload / rank matmuls), exact only while every position fits a
+    # f32 mantissa. Fail loudly rather than silently corrupt placement
+    # (ADVICE r4); chunk bigger calls upstream.
+    if idx2.size >= 2**24:
+        raise ValueError(
+            f"cached_gather call of {idx2.size} padded elements exceeds "
+            f"the f32-exact position bound 2^24; chunk the call"
+        )
     G = idx2.shape[0]
     Cr = cold_capacity_rows
     K = prefix_rows
@@ -548,7 +557,10 @@ def cached_scatter_stats(
     err: jax.Array,
     *,
     prefix_rows: int,
-    cold_capacity_rows: int = 32,
+    # Default matches cached_gather and NTupleConfig.cold_capacity_rows
+    # so the gather/scatter paths see the same capacity behavior when
+    # called bare (ADVICE r4).
+    cold_capacity_rows: int = 16,
 ):
     """Windowed TD statistics, split hot/cold for a hot-prefix table.
 
@@ -569,6 +581,12 @@ def cached_scatter_stats(
     idx2 = jnp.concatenate(
         [flat, jnp.full((pad,), 1, jnp.int32) * hot_rows[0] * ROW]
     ).reshape(-1, ROW)
+    # Same f32-exact position bound as cached_gather (ADVICE r4).
+    if idx2.size >= 2**24:
+        raise ValueError(
+            f"cached_scatter_stats call of {idx2.size} padded elements "
+            f"exceeds the f32-exact position bound 2^24; chunk the call"
+        )
     err2 = jnp.pad(errf, (0, pad)).reshape(-1, ROW)
     K = prefix_rows
     hot2 = hot_rows.astype(jnp.float32).reshape(1, K)

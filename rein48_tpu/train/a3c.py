@@ -63,9 +63,28 @@ class A3CConfig:
     learning_rate: float = 3e-4
     max_grad_norm: float = 1.0
     parity_drop_last_reward: bool = False
+    # Cosine lr decay over this many updates (0 = constant) and linear
+    # entropy anneal — the round-4 PPO recipe (train/ppo.py) backported
+    # per VERDICT r4 item 7: constant lr keeps the policy churning at the
+    # end of long runs, and early exploration pressure should relax.
+    lr_decay_updates: int = 0
+    lr_final_frac: float = 0.1
+    entropy_beta_final: Optional[float] = None
+    entropy_decay_updates: int = 0
 
     def make_model(self) -> Any:
         return nets.make_model(self.model, **dict(self.model_kwargs))
+
+    def make_learning_rate(self):
+        """Scalar lr, or a cosine-decay optax schedule when configured
+        (one optimizer step per update)."""
+        if self.lr_decay_updates > 0:
+            return optax.cosine_decay_schedule(
+                self.learning_rate,
+                self.lr_decay_updates,
+                alpha=self.lr_final_frac,
+            )
+        return self.learning_rate
 
     @classmethod
     def reference_parity(cls, **overrides) -> "A3CConfig":
@@ -126,7 +145,9 @@ def init_a3c(
     )
     params = model.init(k_param, obs)["params"]
     optimizer = common.make_optimizer(
-        config.optimizer, config.learning_rate, max_grad_norm=config.max_grad_norm
+        config.optimizer,
+        config.make_learning_rate(),
+        max_grad_norm=config.max_grad_norm,
     )
     state = A3CTrainState(
         params=params,
@@ -161,6 +182,20 @@ def make_a3c_step(
 
     def step_fn(state: A3CTrainState) -> Tuple[A3CTrainState, dict]:
         key, k_roll, k_drop = jax.random.split(state.key, 3)
+
+        if config.entropy_beta_final is not None and config.entropy_decay_updates > 0:
+            frac = jnp.clip(
+                state.update_step.astype(jnp.float32)
+                / config.entropy_decay_updates,
+                0.0,
+                1.0,
+            )
+            beta = config.entropy_beta + frac * (
+                config.entropy_beta_final - config.entropy_beta
+            )
+            step_loss_cfg = loss_cfg._replace(entropy_beta=beta)
+        else:
+            step_loss_cfg = loss_cfg
 
         def body(carry, _):
             env, k = carry
@@ -212,7 +247,7 @@ def make_a3c_step(
             # Evaluate the behavior policy: same mask as at sampling time.
             logits = a3c_agent.masked_logits(logits, traj.legal_mask)
             return a3c_agent.a3c_loss(
-                logits, values, traj.actions, targets, loss_cfg
+                logits, values, traj.actions, targets, step_loss_cfg
             )
 
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(

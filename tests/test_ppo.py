@@ -229,6 +229,89 @@ class TestPPOTrainer:
         assert late > early * 1.2, (early, late)
 
 
+class TestAfterstateCritic:
+    """Afterstate critic co-training (VERDICT r4 item 1)."""
+
+    def test_targets_are_next_returns_cut_at_done(self):
+        """target[t] = returns[t+1] (bootstrap at T-1), 0 where done[t]."""
+        returns = jnp.array([[1.0], [2.0], [3.0]])
+        bootstrap = jnp.array([7.0])
+        dones = jnp.array([[False], [True], [False]])
+        targ = ppo_agent.afterstate_targets(returns, bootstrap, dones)
+        # t=0 continues -> returns[1]; t=1 done -> 0 (no leak from the
+        # post-reset episode); t=2 continues -> bootstrap V(s_T).
+        np.testing.assert_allclose(
+            np.asarray(targ), [[2.0], [0.0], [7.0]]
+        )
+
+    def test_targets_shift_matches_bellman(self):
+        """Without dones: returns[t] == r[t] + gamma*target[t] at lam=1
+        (the planner backup q = r + gamma * V_after is consistent)."""
+        T, B, gamma = 6, 3, 0.9
+        key = jax.random.key(5)
+        kr, kv, kb = jax.random.split(key, 3)
+        rewards = jax.random.uniform(kr, (T, B))
+        values = jax.random.normal(kv, (T, B))
+        bootstrap = jax.random.normal(kb, (B,))
+        _, returns = ppo_agent.gae(rewards, values, bootstrap, gamma, 1.0)
+        targ = ppo_agent.afterstate_targets(
+            returns, bootstrap, jnp.zeros((T, B), bool)
+        )
+        np.testing.assert_allclose(
+            np.asarray(returns), np.asarray(rewards + gamma * targ),
+            rtol=1e-5, atol=1e-5,
+        )
+
+    def test_joint_step_trains_both_subtrees(self):
+        cfg = PPOConfig(
+            batch_size=8, unroll_len=4, num_epochs=2, num_minibatches=2,
+            model="mlp", afterstate_critic=True, after_model="mlp",
+        )
+        state, model, opt = init_ppo(cfg, jax.random.key(0))
+        assert set(state.params) == {"policy", "after"}
+        step = jax.jit(make_ppo_step(cfg, model, opt))
+        state2, m = step(state)
+        assert np.isfinite(float(m["loss"]))
+        assert np.isfinite(float(m["after_loss"]))
+        assert _param_delta(state.params["policy"], state2.params["policy"]) > 0
+        assert _param_delta(state.params["after"], state2.params["after"]) > 0
+
+    def test_warm_start_policy_is_used(self):
+        cfg = PPOConfig(
+            batch_size=4, unroll_len=4, num_epochs=1, num_minibatches=1,
+            model="mlp", afterstate_critic=True, after_model="mlp",
+            learning_rate=0.0,
+        )
+        donor, _, _ = init_ppo(cfg, jax.random.key(9))
+        state, history = train_ppo(
+            cfg, num_updates=1, seed=0,
+            warm_start_policy=donor.params["policy"],
+        )
+        # lr=0: params must still equal the warm-start donor afterwards.
+        assert _param_delta(state.params["policy"], donor.params["policy"]) == 0
+        assert len(history) == 1
+
+    def test_after_leaf_composes_with_search(self):
+        """The trained after net drives depth-0/1 planning via
+        evaluate_search — the exact composition the flagship driver runs."""
+        from rein48_tpu.train.evaluate import evaluate_search
+
+        cfg = PPOConfig(
+            batch_size=4, unroll_len=4, num_epochs=1, num_minibatches=1,
+            model="mlp", afterstate_critic=True, after_model="mlp",
+        )
+        state, model, opt = init_ppo(cfg, jax.random.key(1))
+        state, _ = jax.jit(make_ppo_step(cfg, model, opt))(state)
+        stats = evaluate_search(
+            depth=0, num_envs=4, num_steps=32,
+            model=cfg.make_after_model(), params=state.params["after"],
+            obs_encoding=cfg.obs_encoding, gamma=cfg.gamma,
+            reward_transform=cfg.reward_transform, protocol="first",
+        )
+        assert stats["episodes"] == 4.0
+        assert np.isfinite(stats["avg_score"])
+
+
 class TestValueClipRadius:
     """value_clip_eps is the ABSOLUTE value-clip radius, separate from
     clip_eps (regression for ADVICE.md round-1 #4: reusing the 0.2 ratio

@@ -142,6 +142,26 @@ class TestDQN:
         for a, b in zip(flat0, flat2):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_nstep_step_flow(self):
+        """n_step=3 trainer path: chains sample, learns, stays finite."""
+        cfg = DQNConfig(
+            num_envs=8,
+            model="qnet",
+            model_kwargs=(("hidden", 16), ("channels", (8, 8))),
+            replay_capacity=256,
+            learn_batch_size=16,
+            min_replay_before_learn=32,
+            n_step=3,
+        )
+        state, model, opt = init_dqn(cfg, jax.random.key(0))
+        step = jax.jit(make_dqn_step(cfg, model, opt))
+        p0 = state.params
+        for _ in range(6):
+            state, m = step(state)
+        assert np.isfinite(float(m["loss"]))
+        assert np.isfinite(float(m["target_mean"]))
+        assert _param_delta(p0, state.params) > 0
+
     def test_hard_target_sync(self):
         cfg = DQNConfig(
             num_envs=4,
