@@ -114,6 +114,8 @@ def _cmd_train(args: argparse.Namespace) -> int:
             unroll_len=args.unroll,
             model=args.model,
             learning_rate=args.lr,
+            afterstate_critic=args.afterstate,
+            after_model=args.model,
         )
         _, history = train_ppo(
             config,
@@ -285,15 +287,32 @@ def _cmd_eval(args: argparse.Namespace) -> int:
     model_name = setting(args.model, "model", "resnet")
     obs_encoding = setting(args.obs_encoding, "obs_encoding", "onehot")
 
+    def split_afterstate(params):
+        """Afterstate-critic checkpoints store {"policy", "after"}
+        (train/ppo.py afterstate_critic); split so policy eval gets the
+        policy net and value-guided search gets the afterstate critic."""
+        if isinstance(params, dict) and set(params) == {"policy", "after"}:
+            return params["policy"], params["after"]
+        return params, None
+
     if args.algo == "search":
         kwargs = {}
         if ckpt is not None:
             # Value-guided planning: the trained critic evaluates leaves.
             from rein48_tpu.models import nets
 
+            params, after = split_afterstate(ckpt.restore_field("params"))
+            if after is not None:
+                # The co-trained afterstate critic IS the planner leaf
+                # the tree is Bellman-consistent with; prefer it.
+                params = after
+                leaf_model = setting(None, "after_model", model_name)
+                print("using afterstate-critic leaf", file=sys.stderr)
+            else:
+                leaf_model = model_name
             kwargs = {
-                "model": nets.make_model(model_name),
-                "params": ckpt.restore_field("params"),
+                "model": nets.make_model(leaf_model),
+                "params": params,
                 "obs_encoding": obs_encoding,
                 "gamma": setting(args.gamma, "gamma", 0.99),
                 "reward_transform": setting(
@@ -351,7 +370,7 @@ def _cmd_eval(args: argparse.Namespace) -> int:
 
     if ckpt is not None:
         # Params-only restore: eval needs no env batch / replay shapes.
-        params = ckpt.restore_field("params")
+        params, _ = split_afterstate(ckpt.restore_field("params"))
         print(f"restored step {ckpt.latest_step()}", file=sys.stderr)
     else:
         import jax.numpy as jnp
@@ -488,6 +507,11 @@ def build_parser() -> argparse.ArgumentParser:
         "kernels (ops/tables.py), tables <= 65536 entries only",
     )
     pt.add_argument("--seed", type=int, default=0)
+    pt.add_argument(
+        "--afterstate",
+        action="store_true",
+        help="ppo only: co-train an afterstate value net (planner leaf)",
+    )
     pt.add_argument("--mesh", action="store_true", help="shard over all devices")
     pt.add_argument("--parity", action="store_true", help="reference-parity regime")
     pt.add_argument("--log-dir", default=None)

@@ -274,6 +274,33 @@ class TestCLI:
         assert r.returncode == 0, r.stderr
         assert "loss=" in r.stdout
 
+    def test_train_eval_afterstate_roundtrip(self, tmp_path):
+        """--afterstate checkpoints carry {policy, after} params; both
+        policy eval and value-guided search eval must consume them."""
+        import json
+
+        ck = str(tmp_path / "ck")
+        r = _run_cli(
+            "train", "--algo", "ppo", "--model", "mlp", "--afterstate",
+            "--updates", "2", "--batch-size", "8", "--unroll", "4",
+            "--log-every", "1", "--checkpoint-dir", ck,
+            "--checkpoint-every", "2",
+        )
+        assert r.returncode == 0, r.stderr
+        r = _run_cli(
+            "eval", "--algo", "ppo", "--checkpoint-dir", ck,
+            "--num-envs", "4", "--max-steps", "32",
+        )
+        assert r.returncode == 0, r.stderr
+        assert json.loads(r.stdout.strip().splitlines()[-1])["episodes"] >= 0
+        r = _run_cli(
+            "eval", "--algo", "search", "--checkpoint-dir", ck,
+            "--depth", "0", "--num-envs", "4", "--max-steps", "32",
+        )
+        assert r.returncode == 0, r.stderr
+        assert "afterstate-critic leaf" in r.stderr
+        assert json.loads(r.stdout.strip().splitlines()[-1])["avg_score"] >= 0
+
     def test_bench_contract(self):
         import json
 
