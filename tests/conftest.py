@@ -68,6 +68,15 @@ def pytest_collection_modifyitems(config, items):
 # initializes: tests must run on the 8-virtual-device CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+# Synchronous CPU dispatch. The async-dispatch concurrency window is
+# what deadlocks the round-4-documented "oversubscription flake": a
+# Pallas interpret-mode io_callback (shared_memory.update_clocks_for_
+# device_barrier) runs jnp ops on a runtime thread while the main
+# thread issues its next op, and both futex-park (reproduced 1-in-3
+# under load this round, stack-dumped via -o faulthandler_timeout).
+# Blocking dispatch closes the window at the source; suite wall-clock
+# impact measured negligible on this box.
+jax.config.update("jax_cpu_enable_async_dispatch", False)
 
 assert jax.default_backend() == "cpu", jax.devices()
 assert jax.device_count() == 8, jax.devices()

@@ -591,6 +591,14 @@ class TestMXUBackend:
         for step in range(3):  # accumulators evolve across steps
             a = xla.td_apply_tc(a, boards, err + step, 0.5)
             b = mxu.td_apply_tc(b, boards, err + step, 0.5)
+            # Serialize dispatch: Pallas interpret mode's shared-memory
+            # race detector runs io_callbacks on a worker thread, and
+            # issuing the next traced op while the previous kernel is
+            # still in async dispatch can deadlock the interpreter
+            # (observed: update_clocks_for_device_barrier wedged against
+            # the main thread's next jnp op — upstream jax issue, CPU
+            # interpret mode only).
+            jax.block_until_ready(b)
         self._assert_params_close(a, b)
 
     def test_td_apply_delayed_matches(self):
