@@ -41,6 +41,10 @@ from rein48_tpu.utils.metrics import MetricLogger
 
 NUM_UPDATES = int(sys.argv[1]) if len(sys.argv) > 1 else 12000
 NUM_ENVS = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
+N_STEP = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+GAMMA = float(sys.argv[4]) if len(sys.argv) > 4 else 0.997
+HUBER = float(sys.argv[5]) if len(sys.argv) > 5 else 1.0
+TAG = sys.argv[6] if len(sys.argv) > 6 else "dqn_r5_tpu"
 
 config = DQNConfig(
     num_envs=NUM_ENVS,
@@ -48,12 +52,13 @@ config = DQNConfig(
     acting_steps_per_update=2,
     epsilon_decay_steps=10_000_000,
     epsilon_end=0.03,
-    n_step=5,
-    gamma=0.997,
+    n_step=N_STEP,
+    gamma=GAMMA,
+    huber_delta=HUBER,
 )
 
-logger = MetricLogger(log_dir="runs/dqn_r5_tpu")
-ckpt = Checkpointer("ckpt/dqn_tpu_r5", save_every=2000, max_to_keep=2)
+logger = MetricLogger(log_dir=f"runs/{TAG}")
+ckpt = Checkpointer(f"ckpt/{TAG}", save_every=2000, max_to_keep=2)
 t0 = time.perf_counter()
 state, history = train_dqn(
     config,
@@ -77,8 +82,8 @@ stats = evaluate_policy(
     protocol="first",
 )
 print("EVAL:", stats, flush=True)
-os.makedirs("runs/dqn_r5_tpu", exist_ok=True)
-with open("runs/dqn_r5_tpu/eval.json", "w") as f:
+os.makedirs(f"runs/{TAG}", exist_ok=True)
+with open(f"runs/{TAG}/eval.json", "w") as f:
     json.dump(
         {
             "updates": int(state.update_step),
@@ -91,6 +96,7 @@ with open("runs/dqn_r5_tpu/eval.json", "w") as f:
                 "epsilon_end": config.epsilon_end,
                 "n_step": config.n_step,
                 "gamma": config.gamma,
+                "huber_delta": config.huber_delta,
             },
             "protocol": "first_episode",
             "eval": stats,
@@ -98,5 +104,5 @@ with open("runs/dqn_r5_tpu/eval.json", "w") as f:
         f,
         indent=2,
     )
-print("wrote runs/dqn_r5_tpu/eval.json", flush=True)
+print(f"wrote runs/{TAG}/eval.json", flush=True)
 logger.close()

@@ -142,7 +142,7 @@ stats = evaluate_search(
     gamma=config.gamma,
     reward_transform=config.reward_transform,
     protocol="first",
-    launch_chunk=4096,
+    launch_chunk=2048,
 )
 stats["wall_sec"] = round(time.perf_counter() - t0, 1)
 record("after_greedy", stats)
