@@ -53,6 +53,12 @@ class NTupleTrainConfig:
     for tc=False rather than silently clamped.
     """
 
+    # Measured optimum of the equal-chip-seconds frontier over B
+    # (benchmarks/frontier_r5.json, delayed/4, 420s legs): B=1024 and
+    # 4096 tie on capability (frac_2048 0.949 / 0.945) with 4096 only
+    # +20% steps/s; B=16384 trades capability away (0.918). The default
+    # stays at the small-B end of the tie — sample efficiency wins when
+    # throughput can't buy it back.
     batch_size: int = 1024
     steps_per_update: int = 64
     tuples: Tuple[Tuple[int, ...], ...] = ntuple_lib.YEH_4X6
