@@ -143,6 +143,27 @@ def _cmd_train(args: argparse.Namespace) -> int:
             logger=logger,
             checkpointer=ckpt,
         )
+    elif args.algo == "afterstate":
+        from rein48_tpu.train.afterstate import (
+            AfterstateTDConfig,
+            train_afterstate_td,
+        )
+
+        config = AfterstateTDConfig(
+            batch_size=args.batch_size,
+            unroll_len=args.unroll,
+            model=args.model,
+            learning_rate=args.lr,
+        )
+        _, history = train_afterstate_td(
+            config,
+            num_updates=args.updates,
+            seed=args.seed,
+            mesh=mesh,
+            log_every=args.log_every,
+            logger=logger,
+            checkpointer=ckpt,
+        )
     elif args.algo == "ntuple":
         from rein48_tpu.train.ntuple import NTupleTrainConfig, train_ntuple
 
@@ -479,7 +500,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     pt = sub.add_parser("train", help="train an agent")
     pt.add_argument(
-        "--algo", choices=("a3c", "ppo", "dqn", "ddpg", "ntuple"), default="a3c"
+        "--algo",
+        choices=("a3c", "ppo", "dqn", "ddpg", "ntuple", "afterstate"),
+        default="a3c",
     )
     pt.add_argument("--model", default="resnet")
     pt.add_argument("--updates", type=int, default=200)
