@@ -111,6 +111,19 @@ def main():
         "per frame); highest-MFU config in the suite",
     )
 
+    # --- Deep afterstate-TD r5 (acting = 4 afterstate fwds/frame, ------
+    # --- learn = num_epochs(2) fwd+bwd per frame) ----------------------
+    fps, d = _steps_per_sec("runs/afterstate_td_tpu/eval.json", "steps_per_sec")
+    add(
+        "afterstate_td",
+        "runs/afterstate_td_tpu/eval.json",
+        fps,
+        F.train_flops_per_frame(resnet_fwd, rollout_forwards=4, reuse_passes=2),
+        "acting bound: the depth-0 planner evaluates all 4 afterstates "
+        "per move (4x the policy-gradient acting batch); highest "
+        "capability per chip-second in the deep suite",
+    )
+
     # --- DQN r4/r5 (learn_batch == frames per update) ------------------
     for tag, path in (
         ("dqn", "runs/dqn_tpu/eval.json"),
