@@ -254,14 +254,22 @@ def make_expectimax_policy(
     matching ``reward_fn`` and ``gamma`` so interior merge rewards are in
     the critic's own units.
 
-    Two deliberate approximations in value-guided mode (the tree itself
-    is exact): (a) leaves are PRE-spawn afterstates while the critic was
-    trained on post-spawn states — one expectation layer is absorbed into
-    the function approximator; (b) ``death_value`` should match the
-    critic's terminal convention — trainers bootstrap V=0 at done
-    (``agents/a3c.py``), so pass ``death_value=0.0`` with a trained
-    critic; the huge ``DEATH_VALUE`` default is only consistent with the
-    unbounded snake heuristic, where it buys explicit death avoidance.
+    Leaf-semantics notes for value-guided mode (the tree itself is
+    exact): (a) leaves are PRE-spawn afterstates, so the leaf should be
+    an AFTERSTATE value function — the n-tuple tables
+    (``agents/ntuple.py``), a PPO run's co-trained afterstate critic
+    (``train/ppo.py afterstate_critic``), or the deep afterstate-TD net
+    (``train/afterstate.py``) make the backup Bellman-consistent and
+    measurably WIN over greedy play (BASELINE.md rounds 3-5: +50% score
+    for tables, +107% for the deep net). A POST-spawn state critic (a
+    plain A3C/PPO value head) absorbs one expectation layer into the
+    approximator and measurably LOSES to its own policy head
+    (runs/ppo_flagship_tpu/eval_depth1.json — round 4's lesson).
+    (b) ``death_value`` should match the critic's terminal convention —
+    trainers bootstrap V=0 at done, so pass ``death_value=0.0`` with a
+    trained critic; the huge ``DEATH_VALUE`` default is only consistent
+    with the unbounded snake heuristic, where it buys explicit death
+    avoidance.
 
     Returns an UNJITTED pure function; callers jit it (it is also safe
     inside ``lax.scan`` bodies, e.g. ``train/evaluate.py``).
