@@ -14,10 +14,14 @@ sweep is ~1 hour. Chance chunking serializes both spawn levels
 every launch far under the worker's ~6-8 min kill threshold.
 
 Usage:
-  python examples/eval_afterstate_depth2_tpu.py probe [envs] [launch]
+  python examples/eval_afterstate_depth2_tpu.py probe [envs] [launch] [tag]
   python examples/eval_afterstate_depth2_tpu.py run [envs] [steps] \
-      [chance_chunk] [launch_chunk]
-Writes: runs/afterstate_td_tpu/eval_depth2.json
+      [chance_chunk] [launch_chunk] [tag]
+``tag`` names the checkpoint/run dir (default afterstate_td_tpu).
+Writes: runs/<tag>/eval_depth2.json — progressively after every launch
+chunk (lower-bound stats + ``partial: true``), so a worker crash an hour
+in still leaves a citable row; the sweep stops early once every first
+episode has finished.
 """
 
 import json
@@ -45,9 +49,10 @@ NUM_ENVS = int(sys.argv[2]) if len(sys.argv) > 2 else (8 if MODE == "probe" else
 NUM_STEPS = int(sys.argv[3]) if len(sys.argv) > 3 else 16384
 CHANCE_CHUNK = int(sys.argv[4]) if len(sys.argv) > 4 else 8
 LAUNCH_CHUNK = int(sys.argv[5]) if len(sys.argv) > 5 else 128
+TAG = sys.argv[6] if len(sys.argv) > 6 else "afterstate_td_tpu"
 
 config = AfterstateTDConfig()
-ckpt = Checkpointer("ckpt/afterstate_td_tpu")
+ckpt = Checkpointer(f"ckpt/{TAG}")
 params = jax.device_put(ckpt.restore_field("params"))
 step_loaded = ckpt.latest_step()
 print(f"restored afterstate-TD checkpoint step {step_loaded}", flush=True)
@@ -79,22 +84,49 @@ if MODE == "probe":
         )
     sys.exit(0)
 
+OUT_PATH = f"runs/{TAG}/eval_depth2.json"
+os.makedirs(f"runs/{TAG}", exist_ok=True)
 t0 = time.perf_counter()
-stats = evaluate_search(num_envs=NUM_ENVS, num_steps=NUM_STEPS, seed=123, **kwargs)
+
+
+def _write(stats, *, steps_done, partial):
+    wall = time.perf_counter() - t0
+    out = {
+        "checkpoint_step": step_loaded,
+        "depth": 2,
+        "num_envs": NUM_ENVS,
+        "num_steps": NUM_STEPS,
+        "steps_done": steps_done,
+        "partial": partial,
+        "chance_chunk": CHANCE_CHUNK,
+        "launch_chunk": LAUNCH_CHUNK,
+        "wall_sec": round(wall, 1),
+        "sec_per_move_per_env": round(wall / (steps_done * NUM_ENVS), 6),
+        "results": stats,
+    }
+    with open(OUT_PATH, "w") as f:
+        json.dump(out, f, indent=2)
+
+
+progress = {"steps_done": NUM_STEPS}
+
+
+def on_chunk(steps_done, stats):
+    progress["steps_done"] = steps_done
+    _write(stats, steps_done=steps_done, partial=True)
+    print(
+        f"  [{steps_done}/{NUM_STEPS}] unfinished {stats['unfinished']:.0f} "
+        f"avg_score {stats['avg_score']:.0f} best {stats['best_tile']:.0f}",
+        flush=True,
+    )
+    return stats["unfinished"] == 0.0  # all first episodes done: stop early
+
+
+stats = evaluate_search(
+    num_envs=NUM_ENVS, num_steps=NUM_STEPS, seed=123, on_chunk=on_chunk, **kwargs
+)
 wall = time.perf_counter() - t0
 stats["wall_sec"] = round(wall, 1)
-out = {
-    "checkpoint_step": step_loaded,
-    "depth": 2,
-    "num_envs": NUM_ENVS,
-    "num_steps": NUM_STEPS,
-    "chance_chunk": CHANCE_CHUNK,
-    "launch_chunk": LAUNCH_CHUNK,
-    "sec_per_move_per_env": round(wall / (NUM_STEPS * NUM_ENVS), 6),
-    "results": stats,
-}
-os.makedirs("runs/afterstate_td_tpu", exist_ok=True)
-with open("runs/afterstate_td_tpu/eval_depth2.json", "w") as f:
-    json.dump(out, f, indent=2)
+_write(stats, steps_done=progress["steps_done"], partial=False)
 print("EVAL depth2:", stats, flush=True)
-print("wrote runs/afterstate_td_tpu/eval_depth2.json", flush=True)
+print(f"wrote {OUT_PATH}", flush=True)

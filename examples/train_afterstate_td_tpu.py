@@ -15,9 +15,10 @@ ResNet — warm-started from the PPO run's co-trained critic.
 Done-bar: after_greedy and/or depth-1 over the final V_after >= the PPO
 policy head's 0.776 greedy row.
 
-Usage: python examples/train_afterstate_td_tpu.py [updates] [batch]
-Artifacts: runs/afterstate_td_tpu/{metrics.csv,eval.json},
-ckpt/afterstate_td_tpu/.
+Usage: python examples/train_afterstate_td_tpu.py [updates] [batch] [tag]
+Artifacts: runs/<tag>/{metrics.csv,eval.json}, ckpt/<tag>/ (tag defaults
+to afterstate_td_tpu). When the PPO donor checkpoint is absent the run
+trains V_after from its fresh init — still strong, slower to converge.
 """
 
 import json
@@ -43,6 +44,7 @@ from rein48_tpu.utils.metrics import MetricLogger
 
 NUM_UPDATES = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
 BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
+TAG = sys.argv[3] if len(sys.argv) > 3 else "afterstate_td_tpu"
 
 config = AfterstateTDConfig(
     batch_size=BATCH,
@@ -57,14 +59,19 @@ config = AfterstateTDConfig(
     num_minibatches=4,
 )
 
-own_ckpt = Checkpointer("ckpt/afterstate_td_tpu", save_every=500, max_to_keep=2)
+own_ckpt = Checkpointer(f"ckpt/{TAG}", save_every=500, max_to_keep=2)
 warm = None
+warm_src = "none (fresh init)"
 if own_ckpt.latest_step() is None:
-    donor = Checkpointer("ckpt/ppo_afterstate_tpu").restore_field("params")
-    warm = donor["after"]
-    print("warm start: ppo_afterstate co-trained critic", flush=True)
+    try:
+        donor = Checkpointer("ckpt/ppo_afterstate_tpu").restore_field("params")
+        warm = donor["after"]
+        warm_src = "ckpt/ppo_afterstate_tpu params['after']"
+        print("warm start: ppo_afterstate co-trained critic", flush=True)
+    except FileNotFoundError:
+        print("no donor checkpoint; training V_after from fresh init", flush=True)
 
-logger = MetricLogger(log_dir="runs/afterstate_td_tpu")
+logger = MetricLogger(log_dir=f"runs/{TAG}")
 t0 = time.perf_counter()
 state, history = train_afterstate_td(
     config,
@@ -89,17 +96,17 @@ out = {
         "gamma": config.gamma,
         "td_lambda": config.td_lambda,
         "lr": config.learning_rate,
-        "warm_start": "ckpt/ppo_afterstate_tpu params['after']",
+        "warm_start": warm_src,
     },
     "protocol": "first_episode",
     "results": {},
 }
-os.makedirs("runs/afterstate_td_tpu", exist_ok=True)
+os.makedirs(f"runs/{TAG}", exist_ok=True)
 
 
 def record(tag, stats):
     out["results"][tag] = stats
-    with open("runs/afterstate_td_tpu/eval.json", "w") as f:
+    with open(f"runs/{TAG}/eval.json", "w") as f:
         json.dump(out, f, indent=2)
     print(f"EVAL {tag}:", stats, flush=True)
 
@@ -139,5 +146,5 @@ stats = evaluate_search(
 stats["wall_sec"] = round(time.perf_counter() - t0, 1)
 stats["num_envs"], stats["num_steps"] = 256, 16384
 record("depth1", stats)
-print("wrote runs/afterstate_td_tpu/eval.json", flush=True)
+print(f"wrote runs/{TAG}/eval.json", flush=True)
 logger.close()

@@ -235,57 +235,14 @@ def _first_episode_segment(params, carry, *, policy_fn, num_steps):
     return carry
 
 
-def _first_episode_rollout(
-    params, start_state, *, policy_fn, num_steps, launch_chunk=None
-):
-    """First-episode capability sweep: exactly B episodes, no length bias.
+def _first_episode_stats(final, acc):
+    """Finalize first-episode stats from a sweep carry.
 
-    The windowed protocol (:func:`_search_rollout` + ``_episode_stats``)
-    counts episodes that COMPLETE within the sweep — which systematically
-    drops the longest (= strongest: in 2048, reaching a higher tile takes
-    proportionally more moves) episodes still running at the end, biasing
-    attainment fractions DOWN for strong agents. Here each env contributes
-    its first episode and nothing else; envs whose first episode outlives
-    the sweep are credited with their live score/max-tile, which only
-    under-counts (a lower bound — the episode would have finished at least
-    this high). ``unfinished`` in the stats says how much truncation
-    happened; size ``num_steps`` so it is ~0.
-
-    ``launch_chunk`` splits the sweep into multiple jit launches of that
-    many steps with the carry threaded on-device between them. The math
-    is identical (a scan of scans); it exists because this environment's
-    TPU worker reproducibly dies under single launches that run for many
-    minutes (both the depth-1 planner and a ResNet-leaf tree at full
-    eval scale crashed ~6-8 min into their one launch, while the same
-    programs at probe scale run clean — see BASELINE.md round 4).
+    Envs still inside their first episode are credited with the live
+    episode as a lower bound (max tile never decreases; score only
+    grows); ``unfinished`` reports how many were truncated.
     """
-    B = start_state.score.shape[0]
-    init = {
-        "finished": jnp.zeros((B,), bool),
-        "score": jnp.zeros((B,), jnp.float32),
-        "tile_sum": jnp.zeros((B,), jnp.float32),
-        "length": jnp.zeros((B,), jnp.int32),
-        "max_tile": jnp.zeros((B,), jnp.float32),
-    }
-    carry = (start_state, init)
-    if launch_chunk is None or launch_chunk >= num_steps:
-        carry = _first_episode_segment(
-            params, carry, policy_fn=policy_fn, num_steps=num_steps
-        )
-    else:
-        whole, rem = divmod(num_steps, launch_chunk)
-        for _ in range(whole):
-            carry = _first_episode_segment(
-                params, carry, policy_fn=policy_fn, num_steps=launch_chunk
-            )
-        if rem:
-            carry = _first_episode_segment(
-                params, carry, policy_fn=policy_fn, num_steps=rem
-            )
-    final, acc = carry
-
-    # Envs still inside their first episode: credit the live episode as a
-    # lower bound (max tile never decreases; score only grows).
+    B = acc["finished"].shape[0]
     fin = acc["finished"]
     boards_f = final.boards.astype(jnp.float32)
     live_max = jnp.exp2(jnp.max(boards_f, axis=(-2, -1)))
@@ -307,7 +264,73 @@ def _first_episode_rollout(
     }
     for tier in _TILE_TIERS:
         stats[f"frac_{tier}"] = jnp.mean((max_tile >= tier).astype(jnp.float32))
-    return final, stats
+    return stats
+
+
+def _first_episode_rollout(
+    params, start_state, *, policy_fn, num_steps, launch_chunk=None, on_chunk=None
+):
+    """First-episode capability sweep: exactly B episodes, no length bias.
+
+    The windowed protocol (:func:`_search_rollout` + ``_episode_stats``)
+    counts episodes that COMPLETE within the sweep — which systematically
+    drops the longest (= strongest: in 2048, reaching a higher tile takes
+    proportionally more moves) episodes still running at the end, biasing
+    attainment fractions DOWN for strong agents. Here each env contributes
+    its first episode and nothing else; envs whose first episode outlives
+    the sweep are credited with their live score/max-tile, which only
+    under-counts (a lower bound — the episode would have finished at least
+    this high). ``unfinished`` in the stats says how much truncation
+    happened; size ``num_steps`` so it is ~0.
+
+    ``launch_chunk`` splits the sweep into multiple jit launches of that
+    many steps with the carry threaded on-device between them. The math
+    is identical (a scan of scans); it exists because this environment's
+    TPU worker reproducibly dies under single launches that run for many
+    minutes (both the depth-1 planner and a ResNet-leaf tree at full
+    eval scale crashed ~6-8 min into their one launch, while the same
+    programs at probe scale run clean — see BASELINE.md round 4).
+
+    ``on_chunk(steps_done, stats)`` (optional) is called after every
+    launch with the lower-bound stats so far (Python floats) — long
+    on-chip sweeps can persist partial rows that survive a worker crash.
+    A truthy return stops the sweep early (e.g. once ``unfinished`` hits
+    0 the remaining launches cannot change the stats).
+    """
+    B = start_state.score.shape[0]
+    init = {
+        "finished": jnp.zeros((B,), bool),
+        "score": jnp.zeros((B,), jnp.float32),
+        "tile_sum": jnp.zeros((B,), jnp.float32),
+        "length": jnp.zeros((B,), jnp.int32),
+        "max_tile": jnp.zeros((B,), jnp.float32),
+    }
+    carry = (start_state, init)
+    if launch_chunk is None or launch_chunk >= num_steps:
+        carry = _first_episode_segment(
+            params, carry, policy_fn=policy_fn, num_steps=num_steps
+        )
+    else:
+        whole, rem = divmod(num_steps, launch_chunk)
+        done, stopped = 0, False
+        for _ in range(whole):
+            carry = _first_episode_segment(
+                params, carry, policy_fn=policy_fn, num_steps=launch_chunk
+            )
+            done += launch_chunk
+            if on_chunk is not None:
+                partial = {
+                    k: float(v) for k, v in _first_episode_stats(*carry).items()
+                }
+                if on_chunk(done, partial):
+                    stopped = True
+                    break
+        if rem and not stopped:
+            carry = _first_episode_segment(
+                params, carry, policy_fn=policy_fn, num_steps=rem
+            )
+    final, acc = carry
+    return final, _first_episode_stats(final, acc)
 
 
 def evaluate_search(
@@ -324,6 +347,7 @@ def evaluate_search(
     chance_chunk: int | None = None,
     protocol: str = "window",
     launch_chunk: int | None = None,
+    on_chunk: Any = None,
 ) -> Dict[str, float]:
     """Play the expectimax planner (``control/search.py``) in lockstep.
 
@@ -335,6 +359,8 @@ def evaluate_search(
     serializes the spawn expansion (identical math — the TPU-safe shape
     for depth >= 1, see ``search._value_chance``); ``protocol`` chooses
     completed-episode ("window") or unbiased first-episode stats.
+    ``on_chunk`` (first-protocol only) receives ``(steps_done, stats)``
+    after every launch chunk — see :func:`_first_episode_rollout`.
     """
     policy_fn = _get_search_policy(
         depth, model, obs_encoding, gamma, reward_transform, chance_chunk
@@ -347,6 +373,7 @@ def evaluate_search(
             policy_fn=policy_fn,
             num_steps=num_steps,
             launch_chunk=launch_chunk,
+            on_chunk=on_chunk,
         )
     else:
         _, stats = _search_rollout(

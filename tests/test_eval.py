@@ -144,6 +144,29 @@ def test_first_episode_protocol_counts_every_env_once():
     assert short["avg_tile_sum"] > 0  # live boards credited
 
 
+def test_first_episode_on_chunk_progress_and_early_stop():
+    """``on_chunk`` fires once per launch chunk with lower-bound stats
+    (Python floats) and a truthy return stops the sweep — the partial-row
+    persistence contract long on-chip depth-2 evals rely on (round 5)."""
+    from rein48_tpu.train.evaluate import evaluate_search
+
+    calls = []
+
+    def stop_after_two(done, stats):
+        calls.append((done, stats["episodes"], stats["unfinished"]))
+        assert isinstance(stats["avg_score"], float)
+        return len(calls) >= 2
+
+    s = evaluate_search(
+        depth=0, num_envs=4, num_steps=1000, seed=3, protocol="first",
+        launch_chunk=64, on_chunk=stop_after_two,
+    )
+    assert [c[0] for c in calls] == [64, 128]  # stopped after the 2nd chunk
+    assert all(c[1] == 4.0 for c in calls)
+    assert s["episodes"] == 4.0  # early-stopped stats still well-formed
+    assert s["unfinished"] == calls[-1][2]  # final == last partial
+
+
 def test_evaluate_ntuple_default_steps_by_protocol(monkeypatch):
     """num_steps=None defaults to 16384 for protocol="first" (a strong
     agent's first episode runs ~17k moves — a short default would
