@@ -13,10 +13,11 @@ sweep is ~1 hour. Chance chunking serializes both spawn levels
 (search._value_chance recurses the chunk) and launch chunking keeps
 every launch far under the worker's ~6-8 min kill threshold.
 
-Usage:
-  python examples/eval_afterstate_depth2_tpu.py probe [envs] [launch] [tag]
-  python examples/eval_afterstate_depth2_tpu.py run [envs] [steps] \
-      [chance_chunk] [launch_chunk] [tag]
+Usage (both modes share the argv layout):
+  python examples/eval_afterstate_depth2_tpu.py {probe|run} [envs] \
+      [steps] [chance_chunk] [launch_chunk] [tag]
+probe runs one launch_chunk-step launch twice (compile + steady) and
+prints the ms/env-step rate plus the projected full-run wall time.
 ``tag`` names the checkpoint/run dir (default afterstate_td_tpu).
 Writes: runs/<tag>/eval_depth2.json — progressively after every launch
 chunk (lower-bound stats + ``partial: true``), so a worker crash an hour
